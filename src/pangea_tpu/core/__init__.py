@@ -1,0 +1,14 @@
+from .semantics_np import (
+    AMBIG,
+    canonical_kmers,
+    encode_bases,
+    hash32_np,
+    mix32_np,
+    minimizer_mask,
+    revcomp_codes,
+)
+
+__all__ = [
+    "AMBIG", "canonical_kmers", "encode_bases", "hash32_np", "mix32_np",
+    "minimizer_mask", "revcomp_codes",
+]

@@ -1,0 +1,232 @@
+"""Taxonomy store (SURVEY.md C5).
+
+The tree lives as dense int32/int8 numpy arrays — ``parent``, ``rank``,
+``depth``, Euler-tour ``tin``/``tout`` — chosen so the device-side scorer can
+answer ancestor queries with two comparisons (SEMANTICS.md §6) instead of
+pointer-chasing node structs. Taxon ids are dense 1..T; 0 is "unclassified".
+
+Loadable from (a) a simple 4-column TSV (``taxid  parent  rank  name``) and
+(b) NCBI-style ``nodes.dmp``/``names.dmp`` pairs (remapped to dense ids).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# SEMANTICS.md §6 rank codes (frozen).
+RANK_NAMES = [
+    "no_rank", "root", "superkingdom", "phylum", "class",
+    "order", "family", "genus", "species", "strain",
+]
+RANK_CODES = {name: i for i, name in enumerate(RANK_NAMES)}
+# Common NCBI aliases → frozen codes.
+_RANK_ALIASES = {
+    "domain": "superkingdom", "kingdom": "superkingdom",
+    "subspecies": "strain", "serotype": "strain", "no rank": "no_rank",
+}
+
+
+@dataclass
+class Taxonomy:
+    """Dense-array taxonomy. Index 0 is the unclassified sentinel."""
+
+    parent: np.ndarray   # int32[T+1]; parent[1] == 1 (root), parent[0] == 0
+    rank: np.ndarray     # int8[T+1], codes into RANK_NAMES
+    names: list[str]     # len T+1; names[0] == "unclassified"
+    depth: np.ndarray = field(init=False)   # int32[T+1]; depth[1] == 0
+    tin: np.ndarray = field(init=False)     # int32[T+1] Euler entry
+    tout: np.ndarray = field(init=False)    # int32[T+1] Euler exit
+
+    def __post_init__(self):
+        self.parent = np.asarray(self.parent, dtype=np.int32)
+        self.rank = np.asarray(self.rank, dtype=np.int8)
+        T = self.parent.shape[0] - 1
+        if T < 1 or self.parent[1] != 1:
+            raise ValueError("taxonomy must have root id 1 with parent[1]==1")
+        self._build_euler(T)
+
+    def _build_euler(self, T: int) -> None:
+        # Children in ascending id order (SEMANTICS.md §6): bucket by parent.
+        kids: list[list[int]] = [[] for _ in range(T + 1)]
+        for t in range(2, T + 1):
+            p = int(self.parent[t])
+            if not (1 <= p <= T):
+                raise ValueError(f"taxon {t} has invalid parent {p}")
+            kids[p].append(t)  # ascending because t iterates ascending
+        tin = np.zeros(T + 1, dtype=np.int32)
+        tout = np.zeros(T + 1, dtype=np.int32)
+        depth = np.zeros(T + 1, dtype=np.int32)
+        # Iterative DFS from root; timestamps over real nodes only.
+        timer = 0
+        stack: list[tuple[int, int]] = [(1, 0)]  # (node, child cursor)
+        depth[1] = 0
+        tin[1] = timer
+        timer += 1
+        while stack:
+            node, cursor = stack[-1]
+            if cursor < len(kids[node]):
+                stack[-1] = (node, cursor + 1)
+                child = kids[node][cursor]
+                depth[child] = depth[node] + 1
+                tin[child] = timer
+                timer += 1
+                stack.append((child, 0))
+            else:
+                tout[node] = timer
+                stack.pop()
+        if timer != T:
+            unreach = [t for t in range(1, T + 1) if tout[t] == 0 and t != 1]
+            raise ValueError(
+                f"taxonomy has {T - timer} nodes unreachable from root, "
+                f"e.g. {unreach[:5]}"
+            )
+        # Sentinel 0: empty interval so it is never an ancestor of anything.
+        tin[0], tout[0] = np.int32(-1), np.int32(-1)
+        self.depth, self.tin, self.tout = depth, tin, tout
+
+    # ------------------------------------------------------------------ api
+    @property
+    def num_taxa(self) -> int:
+        return self.parent.shape[0] - 1
+
+    def is_ancestor_or_self(self, a, t):
+        """Vectorized ancestor-or-self test per SEMANTICS.md §6."""
+        a = np.asarray(a)
+        t = np.asarray(t)
+        return (self.tin[a] <= self.tin[t]) & (self.tin[t] < self.tout[a])
+
+    def lca(self, a: int, b: int) -> int:
+        """LCA of two taxa; 0 acts as identity (SEMANTICS.md §6)."""
+        if a == 0:
+            return int(b)
+        if b == 0:
+            return int(a)
+        da, db = int(self.depth[a]), int(self.depth[b])
+        while da > db:
+            a = int(self.parent[a]); da -= 1
+        while db > da:
+            b = int(self.parent[b]); db -= 1
+        while a != b:
+            a = int(self.parent[a]); b = int(self.parent[b])
+        return int(a)
+
+    def lca_many(self, taxa) -> int:
+        out = 0
+        for t in taxa:
+            out = self.lca(out, int(t))
+        return out
+
+    def ancestors(self, t: int) -> list[int]:
+        """Root→t path, inclusive."""
+        path = []
+        while True:
+            path.append(t)
+            if t == 1:
+                break
+            t = int(self.parent[t])
+        return path[::-1]
+
+    def rank_name(self, t: int) -> str:
+        return RANK_NAMES[int(self.rank[t])]
+
+    def name(self, t: int) -> str:
+        return self.names[t]
+
+    # ------------------------------------------------------------- loaders
+    @classmethod
+    def from_tables(cls, parent, rank, names) -> "Taxonomy":
+        return cls(parent=parent, rank=rank, names=list(names))
+
+    @classmethod
+    def load_tsv(cls, path: str) -> "Taxonomy":
+        """4-column TSV: taxid, parent_taxid, rank, name. Ids must be dense
+        1..T with id 1 the root. Lines starting with '#' skipped."""
+        rows: dict[int, tuple[int, str, str]] = {}
+        with open(path, "rt") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                tid, par, rk, name = line.split("\t")[:4]
+                rows[int(tid)] = (int(par), rk, name)
+        T = max(rows)
+        if set(rows) != set(range(1, T + 1)):
+            raise ValueError(f"{path}: taxon ids must be dense 1..{T}")
+        parent = np.zeros(T + 1, dtype=np.int32)
+        rank = np.zeros(T + 1, dtype=np.int8)
+        names = ["unclassified"] + [""] * T
+        for t in range(1, T + 1):
+            par, rk, name = rows[t]
+            parent[t] = par
+            rk = _RANK_ALIASES.get(rk, rk)
+            rank[t] = RANK_CODES.get(rk, RANK_CODES["no_rank"])
+            names[t] = name
+        return cls(parent=parent, rank=rank, names=names)
+
+    @classmethod
+    def load_ncbi(cls, nodes_dmp: str, names_dmp: str) -> "Taxonomy":
+        """NCBI taxdump loader. Raw NCBI taxids are sparse; they are remapped
+        to dense ids preserving ascending raw-id order (so dense-id DFS child
+        order == raw-id order — deterministic). Raw↔dense map is kept in
+        ``.raw_ids`` / ``.raw_to_dense``."""
+        raw_parent: dict[int, int] = {}
+        raw_rank: dict[int, str] = {}
+        with open(nodes_dmp, "rt") as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.split("|")]
+                tid, par, rk = int(parts[0]), int(parts[1]), parts[2]
+                raw_parent[tid] = par
+                raw_rank[tid] = rk
+        raw_names: dict[int, str] = {}
+        with open(names_dmp, "rt") as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.split("|")]
+                if len(parts) >= 4 and parts[3] == "scientific name":
+                    raw_names[int(parts[0])] = parts[1]
+        raw_ids = sorted(raw_parent)
+        if not raw_ids or raw_parent[raw_ids[0]] not in (raw_ids[0], 1):
+            # NCBI root is taxid 1 with parent 1.
+            pass
+        raw_to_dense = {r: i + 1 for i, r in enumerate(raw_ids)}
+        if raw_to_dense.get(1) != 1:
+            raise ValueError("NCBI taxdump must contain root taxid 1")
+        T = len(raw_ids)
+        parent = np.zeros(T + 1, dtype=np.int32)
+        rank = np.zeros(T + 1, dtype=np.int8)
+        names = ["unclassified"] + [""] * T
+        for r in raw_ids:
+            d = raw_to_dense[r]
+            parent[d] = raw_to_dense[raw_parent[r]]
+            rk = _RANK_ALIASES.get(raw_rank[r], raw_rank[r])
+            rank[d] = RANK_CODES.get(rk, RANK_CODES["no_rank"])
+            names[d] = raw_names.get(r, f"taxid_{r}")
+        tax = cls(parent=parent, rank=rank, names=names)
+        tax.raw_ids = np.array(raw_ids, dtype=np.int64)      # type: ignore[attr-defined]
+        tax.raw_to_dense = raw_to_dense                      # type: ignore[attr-defined]
+        return tax
+
+    # --------------------------------------------------------------- save
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            parent=self.parent, rank=self.rank,
+            names=np.array(self.names, dtype=object),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Taxonomy":
+        z = np.load(path, allow_pickle=True)
+        return cls(parent=z["parent"], rank=z["rank"],
+                   names=[str(n) for n in z["names"]])
+
+    def content_hash(self) -> str:
+        """Stable hash binding indexes to the taxonomy they were built with."""
+        import hashlib
+        h = hashlib.sha256()
+        h.update(self.parent.tobytes())
+        h.update(self.rank.tobytes())
+        h.update("\x00".join(self.names).encode())
+        return h.hexdigest()[:16]
