@@ -1,0 +1,113 @@
+"""Classification engine (SURVEY.md C13/C5/L5): assembles the device kernels
+into one jittable classify step.
+
+Design (TPU-first, SURVEY.md §8.3): a batch is a fixed-shape int8 [B, L]
+code tensor (pad = 4); the whole read→k-mer→lookup→tally→score path is ONE
+XLA program — extraction fuses on the VPU, lookups are batched HBM gathers,
+scoring is dense interval math. No recompilation in steady state; variable
+read lengths ride the padding (SEMANTICS.md §2 makes padding semantically
+inert). Sharded execution wraps the same function in shard_map (see
+pangea_tpu.dist) with a single psum merge of the disjoint per-position hit
+arrays (SEMANTICS.md §11).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index import Index
+from ..index.shard import shard_tables
+from ..kernels import extract_kmers_jnp, lookup_jnp, score_reads_jnp
+
+
+@dataclass(frozen=True)
+class ClassifyConfig:
+    """Static classify parameters (hashable — safe to close over in jit)."""
+    k: int
+    max_probe: int
+    n_shards: int = 1
+    confidence_threshold: float = 0.0
+
+
+@dataclass
+class DeviceIndex:
+    """Device-resident arrays for one index + taxonomy (a pytree of arrays)
+    plus the static config. Taxonomy arrays are replicated; table arrays are
+    stacked [n_shards, S] for placement along the mesh 'shard' axis."""
+    key_hi: jnp.ndarray   # uint32 [n_shards, S]
+    key_lo: jnp.ndarray   # uint32 [n_shards, S]
+    val: jnp.ndarray      # int32  [n_shards, S]
+    tax: dict             # tin/tout/parent/depth [T+1], up [levels, T+1]
+    cfg: ClassifyConfig
+
+    @classmethod
+    def from_index(cls, index: Index, n_shards: int = 1,
+                   confidence_threshold: float = 0.0,
+                   device_put: bool = True) -> "DeviceIndex":
+        key_hi, key_lo, val, max_probe = shard_tables(index, n_shards)
+        tax = index.taxonomy.device_arrays()
+        if device_put:
+            key_hi, key_lo, val = (jax.device_put(x)
+                                   for x in (key_hi, key_lo, val))
+            tax = {k: jax.device_put(v) for k, v in tax.items()}
+        cfg = ClassifyConfig(
+            k=index.meta.k, max_probe=max_probe, n_shards=n_shards,
+            confidence_threshold=confidence_threshold,
+        )
+        return cls(key_hi=key_hi, key_lo=key_lo, val=val, tax=tax, cfg=cfg)
+
+    @property
+    def tables(self) -> dict:
+        return {"key_hi": self.key_hi, "key_lo": self.key_lo,
+                "val": self.val, "tax": self.tax}
+
+
+def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
+                      shard_id=0):
+    """bases int8 [B, L] → (taxon int32 [B, P], nvalid int32 [B]) on ONE
+    shard's table (tables arrays already sliced to this shard: [S])."""
+    hi, lo, valid = extract_kmers_jnp(bases, cfg.k)
+    taxon = lookup_jnp(hi, lo, valid, tables["key_hi"], tables["key_lo"],
+                       tables["val"], max_probe=cfg.max_probe,
+                       n_shards=cfg.n_shards, shard_id=shard_id)
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    return taxon, nvalid
+
+
+def make_classify_fn(cfg: ClassifyConfig, paired: bool = False):
+    """Build the single-device classify step (n_shards must be 1).
+
+    Returns fn(tables, bases[, mate_bases]) -> dict(taxon, best, nvalid,
+    conf), jittable. For sharded execution use
+    pangea_tpu.dist.make_sharded_classify_fn, which wraps the same kernels
+    in shard_map with a psum hit merge.
+    """
+
+    def fn(tables, bases, mate_bases=None):
+        t = {"key_hi": tables["key_hi"][0], "key_lo": tables["key_lo"][0],
+             "val": tables["val"][0], "tax": tables["tax"]}
+        taxon, nvalid = hits_single_shard(t, bases, cfg)
+        if paired:
+            taxon2, nvalid2 = hits_single_shard(t, mate_bases, cfg)
+            taxon = jnp.concatenate([taxon, taxon2], axis=1)
+            nvalid = nvalid + nvalid2
+        return score_reads_jnp(taxon, nvalid, tables["tax"],
+                               cfg.confidence_threshold)
+
+    if paired:
+        return jax.jit(fn)
+    return jax.jit(lambda tables, bases: fn(tables, bases))
+
+
+def pad_batch(seqs, batch: int, length: int) -> np.ndarray:
+    """Host-side: list of uint8 code arrays → int8 [batch, length] (pad=4).
+    Reads longer than `length` are truncated (callers bucket by length)."""
+    out = np.full((batch, length), 4, dtype=np.int8)
+    for i, s in enumerate(seqs[:batch]):
+        n = min(len(s), length)
+        out[i, :n] = s[:n].astype(np.int8)
+    return out

@@ -24,7 +24,13 @@ class GoldenResult:
     taxon: int      # assigned taxon (0 = unclassified) after threshold
     best: int       # winning path score (hit k-mers on root→assignment path side)
     nvalid: int     # valid k-mer positions (confidence denominator)
-    conf: float     # float32 best/nvalid
+
+    @property
+    def conf(self) -> float:
+        """Host-derived reported confidence (SEMANTICS.md §7.7)."""
+        if self.nvalid == 0:
+            return 0.0
+        return float(np.float32(self.best) / np.float32(self.nvalid))
 
 
 def _score_hits(taxa_hits: np.ndarray, nvalid: int, taxonomy: Taxonomy,
@@ -32,7 +38,7 @@ def _score_hits(taxa_hits: np.ndarray, nvalid: int, taxonomy: Taxonomy,
     """SEMANTICS.md §7 on a flat array of per-position hit taxa (0 = miss)."""
     hits = taxa_hits[taxa_hits != 0]
     if nvalid == 0 or hits.size == 0:
-        return GoldenResult(0, 0, int(nvalid), 0.0)
+        return GoldenResult(0, 0, int(nvalid))
     cand, counts = np.unique(hits, return_counts=True)
     tin, tout = taxonomy.tin, taxonomy.tout
     # pscore(t) = sum over hit taxa a (with multiplicity) of
@@ -43,9 +49,10 @@ def _score_hits(taxa_hits: np.ndarray, nvalid: int, taxonomy: Taxonomy,
     best = int(pscore.max())
     winners = cand[pscore == best]
     assigned = taxonomy.lca_many(winners)
-    conf = np.float32(best) / np.float32(nvalid)
-    taxon = assigned if not (conf < np.float32(confidence_threshold)) else 0
-    return GoldenResult(int(taxon), best, int(nvalid), float(conf))
+    # Threshold gate: single IEEE f32 multiply-compare (SEMANTICS.md §7.6).
+    below = np.float32(best) < np.float32(confidence_threshold) * np.float32(nvalid)
+    taxon = 0 if below else assigned
+    return GoldenResult(int(taxon), best, int(nvalid))
 
 
 def _read_hits(codes: np.ndarray, index: Index):
@@ -82,17 +89,21 @@ def classify_reads_golden(reads, index: Index, confidence_threshold: float,
 
 
 def merge_multik_golden(r1: GoldenResult, r2: GoldenResult,
-                        taxonomy: Taxonomy) -> tuple[int, float]:
-    """SEMANTICS.md §9: merge two classifiers' (taxon, conf) per read."""
+                        taxonomy: Taxonomy) -> GoldenResult:
+    """SEMANTICS.md §9: merge two classifiers' (taxon, best, nvalid)
+    triples per read. Confidence comparisons are exact-rational integer
+    cross-multiplications; ties pick r1."""
     t1, t2 = r1.taxon, r2.taxon
-    c1 = np.float32(r1.conf)
-    c2 = np.float32(r2.conf)
     if t1 == 0 and t2 == 0:
-        return 0, 0.0
+        return GoldenResult(0, 0, r1.nvalid + r2.nvalid)
     if t1 == 0:
-        return t2, float(c2)
+        return GoldenResult(t2, r2.best, r2.nvalid)
     if t2 == 0:
-        return t1, float(c1)
+        return GoldenResult(t1, r1.best, r1.nvalid)
+    x1 = r1.best * r2.nvalid   # conf1 vs conf2 as exact rationals
+    x2 = r2.best * r1.nvalid
     if t1 == t2:
-        return t1, float(max(c1, c2))
-    return taxonomy.lca(t1, t2), float(min(c1, c2))
+        keep = r1 if x1 >= x2 else r2        # higher confidence; tie → r1
+        return GoldenResult(t1, keep.best, keep.nvalid)
+    keep = r1 if x1 <= x2 else r2            # lower confidence; tie → r1
+    return GoldenResult(taxonomy.lca(t1, t2), keep.best, keep.nvalid)

@@ -1,0 +1,57 @@
+"""Index sharding (SEMANTICS.md §5.1, SURVEY.md C8/C16).
+
+Splits an index's k-mer set into N per-shard open-addressing tables by top
+hash bits (the owner rule), each laid out by the same deterministic rule as
+the monolithic table and padded to a common power-of-two size so the stacked
+[N, S] arrays device_put cleanly onto a mesh axis. Resharding needs no
+original genomes — the key set is recovered from the dense table itself.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import hash32_np
+from .build import layout_table
+from .container import EMPTY_HI, Index
+
+
+def extract_pairs(index: Index):
+    """Recover (canon uint64[N] ascending, taxon int32[N]) from the table."""
+    occ = index.key_hi != np.uint32(EMPTY_HI)
+    hi = index.key_hi[occ].astype(np.uint64)
+    lo = index.key_lo[occ].astype(np.uint64)
+    canon = (hi << np.uint64(32)) | lo
+    taxa = index.val[occ]
+    order = np.argsort(canon, kind="stable")
+    return canon[order], taxa[order]
+
+
+def shard_tables(index: Index, n_shards: int, load_factor: float = 0.7):
+    """Returns (key_hi, key_lo, val) stacked as [n_shards, S_max] plus
+    max_probe (max over shards). n_shards must be a power of two."""
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    canon, taxa = extract_pairs(index)
+    if n_shards == 1:
+        owner = np.zeros(canon.shape, dtype=np.uint32)
+    else:
+        log2n = n_shards.bit_length() - 1
+        owner = hash32_np(canon) >> np.uint32(32 - log2n)
+    parts = []
+    for s in range(n_shards):
+        m = owner == s
+        parts.append(layout_table(canon[m], taxa[m], load_factor))
+    s_max = max(p[3] for p in parts)
+    max_probe = max(p[4] for p in parts)
+    key_hi = np.full((n_shards, s_max), EMPTY_HI, dtype=np.uint32)
+    key_lo = np.zeros((n_shards, s_max), dtype=np.uint32)
+    val = np.zeros((n_shards, s_max), dtype=np.int32)
+    for s, (khi, klo, v, size, _) in enumerate(parts):
+        # Sub-table sizes are powers of two ≤ s_max; replicate the table
+        # s_max/size times so `slot = hash & (s_max-1)` lands on a correct
+        # copy — keeps probe semantics identical without re-layout.
+        reps = s_max // size
+        key_hi[s] = np.tile(khi, reps)
+        key_lo[s] = np.tile(klo, reps)
+        val[s] = np.tile(v, reps)
+    return key_hi, key_lo, val, max_probe

@@ -1,0 +1,8 @@
+from .encode import extract_kmers_jnp
+from .lookup import lookup_jnp, mix32_jnp, hash32_jnp
+from .score import score_reads_jnp
+
+__all__ = [
+    "extract_kmers_jnp", "lookup_jnp", "mix32_jnp", "hash32_jnp",
+    "score_reads_jnp",
+]

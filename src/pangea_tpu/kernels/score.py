@@ -1,0 +1,90 @@
+"""On-device consensus/LCA scorer (SURVEY.md C13/C11), jnp path.
+
+Implements SEMANTICS.md §7 with TPU-shaped math: the taxonomy is dense
+int32 arrays (Euler tin/tout + binary-lifting ancestor table), so
+
+- "hits vote for their subtree" becomes a [B, P, P] interval-containment
+  matrix on the VPU (two compares per pair) — no per-node structs, no
+  sorting, no per-read hash maps;
+- the tally + argmax over the tree collapses to a row max over hit
+  positions (the maximizer of the path score is always attained at a hit
+  taxon);
+- the LCA-fold over tied winners uses the classic Euler-tour property
+  LCA(set) = LCA(argmin tin, argmax tin): one pairwise binary-lifting LCA
+  per read, fully vectorized over the batch.
+
+Bit-exactness contract: identical to `pangea_tpu.golden._score_hits`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def lca_pairs_jnp(u, v, parent, depth, up):
+    """Vectorized pairwise LCA (SEMANTICS.md §6). 0 acts as identity.
+
+    u, v: int32 [...]; parent/depth: int32 [T+1]; up: int32 [levels, T+1]
+    binary-lifting table (up[l][t] = 2^l-th ancestor, clamped at root).
+    """
+    levels = up.shape[0]
+    zu = u == 0
+    zv = v == 0
+    uu = jnp.where(zu, jnp.int32(1), u)   # substitute root; fixed up at end
+    vv = jnp.where(zv, jnp.int32(1), v)
+    # Equalize depths: lift the deeper one by (du - dv).
+    du = depth[uu]
+    dv = depth[vv]
+    swap = dv > du
+    a = jnp.where(swap, vv, uu)   # a is the deeper node
+    b = jnp.where(swap, uu, vv)
+    diff = jnp.abs(du - dv)
+    for l in range(levels - 1, -1, -1):
+        lift = (diff >> l) & 1
+        a = jnp.where(lift == 1, up[l][a], a)
+    equal = a == b
+    for l in range(levels - 1, -1, -1):
+        move = (~equal) & (up[l][a] != up[l][b])
+        a = jnp.where(move, up[l][a], a)
+        b = jnp.where(move, up[l][b], b)
+    res = jnp.where(equal, a, parent[a])
+    res = jnp.where(zu & zv, jnp.int32(0), jnp.where(zu, v, jnp.where(zv, u, res)))
+    return res
+
+
+def score_reads_jnp(taxon, nvalid, tax_arrays, confidence_threshold):
+    """taxon: int32 [B, P] per-position hit taxa (0 = miss); nvalid: int32 [B].
+
+    tax_arrays: dict with 'tin', 'tout', 'parent', 'depth' (int32 [T+1]) and
+    'up' (int32 [levels, T+1]).
+    Returns dict(taxon, best, nvalid) per SEMANTICS.md §7 — integer-only
+    outputs; reported confidence derives on the host (§7.7). The only float
+    op is the §7.6 threshold multiply-compare (IEEE-exact everywhere).
+    """
+    tin = tax_arrays["tin"]
+    tout = tax_arrays["tout"]
+    hit = taxon != 0
+    t_in = tin[taxon]     # int32 [B, P] (taxon 0 → -1, harmless: masked)
+    t_out = tout[taxon]
+    # anc[b, j, i] = hit_j and is_ancestor_or_self(t_j, t_i)
+    anc = (t_in[:, :, None] <= t_in[:, None, :]) & \
+          (t_in[:, None, :] < t_out[:, :, None]) & hit[:, :, None]
+    pscore = jnp.sum(anc.astype(jnp.int32), axis=1)          # [B, P]
+    pscore = jnp.where(hit, pscore, jnp.int32(0))
+    best = jnp.max(pscore, axis=1)                            # [B]
+    winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
+    # LCA of winners = LCA(min-tin winner, max-tin winner).
+    tin_w_min = jnp.where(winner, t_in, _I32_MAX)
+    tin_w_max = jnp.where(winner, t_in, jnp.int32(-2))
+    iu = jnp.argmin(tin_w_min, axis=1)
+    iv = jnp.argmax(tin_w_max, axis=1)
+    rows = jnp.arange(taxon.shape[0])
+    u = jnp.where(jnp.any(winner, axis=1), taxon[rows, iu], jnp.int32(0))
+    v = jnp.where(jnp.any(winner, axis=1), taxon[rows, iv], jnp.int32(0))
+    assigned = lca_pairs_jnp(u, v, tax_arrays["parent"], tax_arrays["depth"],
+                             tax_arrays["up"])
+    below = best.astype(jnp.float32) < \
+        jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
+    out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)
+    return {"taxon": out_taxon, "best": best, "nvalid": nvalid}

@@ -222,6 +222,29 @@ class Taxonomy:
         return cls(parent=z["parent"], rank=z["rank"],
                    names=[str(n) for n in z["names"]])
 
+    def lifting_table(self) -> np.ndarray:
+        """Binary-lifting ancestor table: up[l][t] = 2^l-th ancestor of t
+        (clamped at root). Used by the vectorized device LCA
+        (SEMANTICS.md §6 — any correct LCA method agrees)."""
+        max_depth = int(self.depth.max())
+        levels = max(1, max_depth.bit_length())
+        up = np.zeros((levels, self.parent.shape[0]), dtype=np.int32)
+        up[0] = self.parent
+        up[0, 0] = 0
+        for l in range(1, levels):
+            up[l] = up[l - 1][up[l - 1]]
+        return up
+
+    def device_arrays(self) -> dict:
+        """Dense arrays the device scorer needs (numpy; caller device_puts)."""
+        return {
+            "tin": self.tin.astype(np.int32),
+            "tout": self.tout.astype(np.int32),
+            "parent": self.parent.astype(np.int32),
+            "depth": self.depth.astype(np.int32),
+            "up": self.lifting_table(),
+        }
+
     def content_hash(self) -> str:
         """Stable hash binding indexes to the taxonomy they were built with."""
         import hashlib

@@ -1,0 +1,161 @@
+"""Golden parity of the device (jnp) path — the spine of the test strategy
+(SURVEY.md §5.1): every device component bit-exact vs the numpy golden
+model. Runs on the CPU backend (conftest.py); the same code path runs
+unchanged on TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pangea_tpu.classify import DeviceIndex, make_classify_fn, merge_multik_jnp
+from pangea_tpu.classify.engine import pad_batch
+from pangea_tpu.core import canonical_kmers, hash32_np
+from pangea_tpu.golden import classify_reads_golden, merge_multik_golden
+from pangea_tpu.index.shard import extract_pairs
+from pangea_tpu.kernels import extract_kmers_jnp, hash32_jnp, lookup_jnp
+from pangea_tpu.kernels.score import lca_pairs_jnp
+
+from .helpers import small_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return small_world(n_reads=150)
+
+
+def _codes_batch(rng, B, L, ambig=True):
+    hi = 5 if ambig else 4
+    return rng.integers(0, hi, size=(B, L)).astype(np.int8)
+
+
+@pytest.mark.parametrize("k", [5, 21, 31])
+def test_extract_kmers_matches_numpy(k):
+    rng = np.random.default_rng(0)
+    bases = _codes_batch(rng, 8, 100)
+    hi, lo, valid = jax.jit(extract_kmers_jnp, static_argnums=1)(bases, k)
+    hi, lo, valid = map(np.asarray, (hi, lo, valid))
+    for b in range(8):
+        canon, v = canonical_kmers(bases[b].astype(np.uint8), k)
+        np.testing.assert_array_equal(valid[b], v)
+        got = (hi[b].astype(np.uint64) << np.uint64(32)) | lo[b]
+        np.testing.assert_array_equal(got[v], canon[v])
+
+
+def test_hash_matches_numpy():
+    rng = np.random.default_rng(1)
+    canon = rng.integers(0, 1 << 62, size=1000).astype(np.uint64)
+    hi = (canon >> np.uint64(32)).astype(np.uint32)
+    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(hash32_jnp(jnp.array(hi), jnp.array(lo))),
+        hash32_np(canon))
+
+
+def test_lookup_matches_numpy(world):
+    _, _, idx, _ = world
+    di = DeviceIndex.from_index(idx, device_put=False)
+    rng = np.random.default_rng(2)
+    canon, _ = extract_pairs(idx)
+    probes = np.concatenate([
+        rng.choice(canon, 500),
+        rng.integers(0, 1 << 42, size=500).astype(np.uint64)]).reshape(4, 250)
+    hi = (probes >> np.uint64(32)).astype(np.uint32)
+    lo = (probes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    valid = np.ones(probes.shape, bool)
+    got = lookup_jnp(jnp.array(hi), jnp.array(lo), jnp.array(valid),
+                     jnp.array(di.key_hi[0]), jnp.array(di.key_lo[0]),
+                     jnp.array(di.val[0]), max_probe=di.cfg.max_probe)
+    want = idx.lookup_np(probes.ravel(), valid.ravel()).reshape(4, 250)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_lca_pairs_matches_taxonomy(world):
+    tax, _, _, _ = world
+    arrs = {k: jnp.array(v) for k, v in tax.device_arrays().items()}
+    rng = np.random.default_rng(3)
+    T = tax.num_taxa
+    u = rng.integers(0, T + 1, size=500).astype(np.int32)
+    v = rng.integers(0, T + 1, size=500).astype(np.int32)
+    got = np.asarray(lca_pairs_jnp(jnp.array(u), jnp.array(v),
+                                   arrs["parent"], arrs["depth"], arrs["up"]))
+    want = np.array([tax.lca(int(a), int(b)) for a, b in zip(u, v)])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.3, 0.9])
+def test_classify_bit_exact_vs_golden(world, threshold):
+    tax, _, idx, rs = world
+    di = DeviceIndex.from_index(idx, confidence_threshold=threshold)
+    fn = make_classify_fn(di.cfg)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs, idx, threshold)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
+def test_classify_paired_bit_exact(world):
+    tax, genomes, idx, _ = world
+    from pangea_tpu.utils import datagen
+    rs = datagen.sample_reads(genomes, 100, read_len=110, paired=True,
+                              n_prob=0.02, seed=7)
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.1)
+    fn = make_classify_fn(di.cfg, paired=True)
+    b1 = pad_batch(rs.seqs, 100, 110)
+    b2 = pad_batch(rs.mates, 100, 110)
+    out = {k: np.asarray(v) for k, v in fn(di.tables, b1, b2).items()}
+    want = classify_reads_golden(rs.seqs, idx, 0.1, mates=rs.mates)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
+def test_multik_merge_bit_exact(world):
+    tax, genomes, idx, rs = world
+    from pangea_tpu.index import build_index
+    idx31 = build_index(genomes, tax, k=31)
+    arrs = {k: jnp.array(v) for k, v in tax.device_arrays().items()}
+    r21 = classify_reads_golden(rs.seqs, idx, 0.0)
+    r31 = classify_reads_golden(rs.seqs, idx31, 0.0)
+    def to_dev(rr):
+        return {"taxon": jnp.array([r.taxon for r in rr], jnp.int32),
+                "best": jnp.array([r.best for r in rr], jnp.int32),
+                "nvalid": jnp.array([r.nvalid for r in rr], jnp.int32)}
+    got = merge_multik_jnp(to_dev(r21), to_dev(r31), arrs)
+    want = [merge_multik_golden(a, b, tax) for a, b in zip(r21, r31)]
+    np.testing.assert_array_equal(np.asarray(got["taxon"]),
+                                  [r.taxon for r in want])
+    np.testing.assert_array_equal(np.asarray(got["best"]),
+                                  [r.best for r in want])
+    np.testing.assert_array_equal(np.asarray(got["nvalid"]),
+                                  [r.nvalid for r in want])
+
+
+def test_chunked_long_read_equivalence(world):
+    """SURVEY.md §6 long-read rule: (k-1)-overlap chunking of the hit list
+    is exact. Verified by classifying a long read whole vs as the padded
+    batch of its chunks with concatenated hit arrays — here approximated by
+    checking nvalid and assignment agree through the public path."""
+    tax, genomes, idx, _ = world
+    rng = np.random.default_rng(11)
+    codes, taxon = genomes[3]
+    long_read = codes[100:1300]  # 1200 bp "nanopore-style" read
+    k = idx.meta.k
+    # whole
+    from pangea_tpu.golden import classify_read_golden
+    whole = classify_read_golden(long_read, idx, 0.0)
+    # chunked with k-1 overlap, tallies merged = concatenate hit lists
+    W = 400
+    chunks = [long_read[s:s + W] for s in range(0, len(long_read) - k + 1,
+                                                W - (k - 1))]
+    from pangea_tpu.golden.golden import _read_hits, _score_hits
+    taxa = []
+    nvalid = 0
+    for c in chunks:
+        t, nv = _read_hits(c, idx)
+        taxa.append(t)
+        nvalid += nv
+    merged = _score_hits(np.concatenate(taxa), nvalid, tax, 0.0)
+    assert merged.taxon == whole.taxon
+    assert merged.best == whole.best and merged.nvalid == whole.nvalid

@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from pangea_tpu.core import canonical_kmers, hash32_np
+from pangea_tpu.index import Index, build_index
+from pangea_tpu.index.build import layout_table
+from pangea_tpu.index.container import EMPTY_HI
+from pangea_tpu.index.shard import extract_pairs, shard_tables
+from pangea_tpu.utils import datagen
+
+from .helpers import small_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return small_world()
+
+
+def test_all_kmers_findable(world):
+    tax, genomes, idx, _ = world
+    canon, taxa = extract_pairs(idx)
+    # every stored k-mer must look up to its stored taxon
+    got = idx.lookup_np(canon, np.ones(canon.shape, bool))
+    np.testing.assert_array_equal(got, taxa)
+
+
+def test_absent_kmers_miss(world):
+    _, _, idx, _ = world
+    rng = np.random.default_rng(9)
+    canon, taxa = extract_pairs(idx)
+    present = set(canon.tolist())
+    probes = rng.integers(0, 1 << 42, size=5000).astype(np.uint64)
+    mask = np.array([int(p) not in present for p in probes])
+    got = idx.lookup_np(probes, np.ones(probes.shape, bool))
+    assert (got[mask] == 0).all()
+
+
+def test_lca_dedupe(world):
+    tax, genomes, idx, _ = world
+    # genus-core k-mers (shared by all species of a genus) must map to genus
+    codes, taxon = genomes[0]
+    core = codes[:750]  # genus core prefix (core_frac=0.25 of 3000bp)
+    canon, valid = canonical_kmers(core, idx.meta.k)
+    got = idx.lookup_np(canon, valid)
+    genus = int(tax.parent[taxon])
+    # all core k-mers (unique to this genus across the toy world) → genus
+    assert (got[valid] == genus).mean() > 0.95
+
+
+def test_layout_determinism(world):
+    _, genomes, idx, _ = world
+    canon, taxa = extract_pairs(idx)
+    a = layout_table(canon, taxa)
+    b = layout_table(canon, taxa)
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_probe_bound(world):
+    _, _, idx, _ = world
+    # max_probe recorded in meta must actually bound every key's probe chain
+    canon, taxa = extract_pairs(idx)
+    S = idx.meta.size
+    h = (hash32_np(canon) & np.uint32(S - 1)).astype(np.int64)
+    hi = (canon >> np.uint64(32)).astype(np.uint32)
+    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    found = np.zeros(canon.shape, bool)
+    slot = h.copy()
+    for _ in range(idx.meta.max_probe):
+        m = (idx.key_hi[slot] == hi) & (idx.key_lo[slot] == lo)
+        found |= m
+        slot = (slot + 1) & (S - 1)
+    assert found.all()
+
+
+def test_save_load_roundtrip(tmp_path, world):
+    _, _, idx, _ = world
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    idx2 = Index.load(p)
+    np.testing.assert_array_equal(idx.key_hi, np.asarray(idx2.key_hi))
+    np.testing.assert_array_equal(idx.key_lo, np.asarray(idx2.key_lo))
+    np.testing.assert_array_equal(idx.val, np.asarray(idx2.val))
+    assert idx2.meta == idx.meta
+
+
+def test_shard_tables_cover_all_kmers(world):
+    _, _, idx, _ = world
+    canon, taxa = extract_pairs(idx)
+    for n in (1, 2, 4, 8):
+        key_hi, key_lo, val, max_probe = shard_tables(idx, n)
+        assert key_hi.shape[0] == n
+        S = key_hi.shape[1]
+        assert S & (S - 1) == 0
+        # union of occupied (deduped — padding tiles duplicate) == kmer set
+        stored = set()
+        for s in range(n):
+            occ = key_hi[s] != np.uint32(EMPTY_HI)
+            c = (key_hi[s][occ].astype(np.uint64) << np.uint64(32)) \
+                | key_lo[s][occ].astype(np.uint64)
+            for cv, tv in zip(c.tolist(), val[s][occ].tolist()):
+                stored.add((cv, tv))
+        assert stored == set(zip(canon.tolist(), taxa.tolist()))
+
+
+def test_minimizer_index_smaller(world):
+    tax, genomes, _, _ = world
+    idx_full = build_index(genomes, tax, k=21, w=1)
+    idx_min = build_index(genomes, tax, k=21, w=8)
+    assert idx_min.meta.n_kmers < idx_full.meta.n_kmers * 0.5

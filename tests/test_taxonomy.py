@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from pangea_tpu.taxonomy import Taxonomy, RANK_CODES
+from pangea_tpu.utils import datagen
+
+from .helpers import chain_taxonomy
+
+
+@pytest.fixture
+def tax():
+    return datagen.make_taxonomy()
+
+
+def test_euler_invariants(tax):
+    T = tax.num_taxa
+    assert tax.tin[1] == 0 and tax.tout[1] == T
+    for t in range(2, T + 1):
+        p = int(tax.parent[t])
+        assert tax.tin[p] < tax.tin[t] < tax.tout[t] <= tax.tout[p]
+        assert tax.depth[t] == tax.depth[p] + 1
+    # tins are a permutation of 0..T-1
+    assert sorted(tax.tin[1:]) == list(range(T))
+
+
+def test_lca_properties(tax):
+    rng = np.random.default_rng(0)
+    T = tax.num_taxa
+    for _ in range(200):
+        a, b = int(rng.integers(1, T + 1)), int(rng.integers(1, T + 1))
+        l = tax.lca(a, b)
+        assert l == tax.lca(b, a)
+        assert tax.lca(a, a) == a
+        assert tax.is_ancestor_or_self(l, a) and tax.is_ancestor_or_self(l, b)
+        # deepest: no child of l is a common ancestor
+        for c in range(1, T + 1):
+            if tax.parent[c] == l and c != l:
+                assert not (tax.is_ancestor_or_self(c, a)
+                            and tax.is_ancestor_or_self(c, b))
+    assert tax.lca(0, 5) == 5 and tax.lca(5, 0) == 5 and tax.lca(0, 0) == 0
+
+
+def test_lca_chain():
+    tax = chain_taxonomy(12)
+    assert tax.lca(12, 3) == 3
+    assert tax.lca(12, 12) == 12
+    assert tax.depth[12] == 11
+
+
+def test_ancestor_or_self_matrix(tax):
+    T = tax.num_taxa
+    for a in range(1, T + 1):
+        for t in range(1, T + 1):
+            expected = a in tax.ancestors(t)
+            assert bool(tax.is_ancestor_or_self(a, t)) == expected
+
+
+def test_lifting_table(tax):
+    up = tax.lifting_table()
+    T = tax.num_taxa
+    for t in range(1, T + 1):
+        anc = t
+        for _ in range(1):
+            anc = int(tax.parent[anc])
+        assert up[0][t] == tax.parent[t]
+        anc2 = int(tax.parent[int(tax.parent[t])])
+        assert up[1][t] == anc2
+
+
+def test_tsv_roundtrip(tmp_path, tax):
+    p = str(tmp_path / "tax.tsv")
+    datagen.write_taxonomy_tsv(p, tax)
+    tax2 = Taxonomy.load_tsv(p)
+    np.testing.assert_array_equal(tax.parent, tax2.parent)
+    np.testing.assert_array_equal(tax.rank, tax2.rank)
+    assert tax.names == tax2.names
+    assert tax.content_hash() == tax2.content_hash()
+
+
+def test_savez_roundtrip(tmp_path, tax):
+    p = str(tmp_path / "tax.npz")
+    tax.save(p)
+    tax2 = Taxonomy.load(p)
+    assert tax2.content_hash() == tax.content_hash()
+
+
+def test_ncbi_loader(tmp_path):
+    nodes = tmp_path / "nodes.dmp"
+    names = tmp_path / "names.dmp"
+    # NCBI-style sparse ids: 1 (root), 10, 20, 25
+    nodes.write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "10\t|\t1\t|\tsuperkingdom\t|\n"
+        "20\t|\t10\t|\tgenus\t|\n"
+        "25\t|\t20\t|\tspecies\t|\n")
+    names.write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "10\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "10\t|\tbacteria alias\t|\t\t|\tsynonym\t|\n"
+        "20\t|\tEscherichia\t|\t\t|\tscientific name\t|\n"
+        "25\t|\tE. coli\t|\t\t|\tscientific name\t|\n")
+    tax = Taxonomy.load_ncbi(str(nodes), str(names))
+    assert tax.num_taxa == 4
+    assert tax.names[1] == "root" and tax.names[4] == "E. coli"
+    assert tax.rank[2] == RANK_CODES["superkingdom"]
+    assert tax.lca(4, 2) == 2
+
+
+def test_invalid_taxonomies():
+    with pytest.raises(ValueError):
+        Taxonomy(parent=np.array([0, 1, 5], np.int32),
+                 rank=np.zeros(3, np.int8), names=["u", "r", "x"])
+    with pytest.raises(ValueError):  # cycle not reachable from root
+        Taxonomy(parent=np.array([0, 1, 3, 2], np.int32),
+                 rank=np.zeros(4, np.int8), names=["u", "r", "a", "b"])
