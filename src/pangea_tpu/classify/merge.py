@@ -8,6 +8,7 @@ every backend agrees bit-for-bit. Bit-exactness contract: identical to
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernels.score import lca_pairs_jnp
 
@@ -30,4 +31,25 @@ def merge_multik_jnp(res1: dict, res2: dict, tax_arrays: dict) -> dict:
                       jnp.where(conflict, x1 <= x2, t1 != 0))
     best = jnp.where(both0, jnp.int32(0), jnp.where(keep1, b1, b2))
     nvalid = jnp.where(both0, n1 + n2, jnp.where(keep1, n1, n2))
+    return {"taxon": taxon, "best": best, "nvalid": nvalid}
+
+
+def merge_multik_np(res1: dict, res2: dict, taxonomy) -> dict:
+    """Host (numpy) twin of merge_multik_jnp for the pipeline's drain path —
+    same SEMANTICS.md §9 rules, vectorized over the batch."""
+    t1, b1, n1 = (np.asarray(res1[k]) for k in ("taxon", "best", "nvalid"))
+    t2, b2, n2 = (np.asarray(res2[k]) for k in ("taxon", "best", "nvalid"))
+    x1 = b1.astype(np.int64) * n2
+    x2 = b2.astype(np.int64) * n1
+    both0 = (t1 == 0) & (t2 == 0)
+    agree = (t1 != 0) & (t1 == t2)
+    conflict = (t1 != 0) & (t2 != 0) & (t1 != t2)
+    taxon = np.where(t1 != 0, t1, t2).astype(np.int32)
+    ci = np.flatnonzero(conflict)
+    for i in ci:
+        taxon[i] = taxonomy.lca(int(t1[i]), int(t2[i]))
+    keep1 = np.where(agree, x1 >= x2, np.where(conflict, x1 <= x2, t1 != 0))
+    best = np.where(both0, 0, np.where(keep1, b1, b2)).astype(np.int32)
+    nvalid = np.where(both0, n1 + n2,
+                      np.where(keep1, n1, n2)).astype(np.int32)
     return {"taxon": taxon, "best": best, "nvalid": nvalid}

@@ -1,0 +1,185 @@
+"""CLI (SURVEY.md C21, L8): classic bioinfo subcommand interface.
+
+    pangea-tpu build     --refs ... --taxonomy ... --k 21 --out idx/
+    pangea-tpu classify  --config run.json [key.dotted=value ...]
+    pangea-tpu report    --assignments a.tsv --taxonomy tax --out sum.tsv
+    pangea-tpu bench     [--config ...]
+    pangea-tpu gen-testdata --out dir/ [--reads N --paired]
+
+Configs are JSON (see pangea_tpu.config); every flag after the known ones
+is a dotted override, e.g. ``classify.confidence_threshold=0.1``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    # Backend override (e.g. PANGEA_TPU_PLATFORM=cpu for CPU-runnable
+    # config-1 CI). Must happen before first backend use; the sandbox's
+    # sitecustomize pre-imports jax, so go through jax.config, not env.
+    plat = os.environ.get("PANGEA_TPU_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    p = argparse.ArgumentParser(prog="pangea-tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a k-mer index from references")
+    b.add_argument("--refs", nargs="+", required=True,
+                   help="reference genome FASTA file(s)")
+    b.add_argument("--taxonomy", required=True,
+                   help="taxonomy TSV/NPZ, or nodes.dmp with --names-dmp")
+    b.add_argument("--names-dmp", default=None)
+    b.add_argument("--taxid-map", default=None,
+                   help="2-column TSV: seqid taxid")
+    b.add_argument("--k", type=int, default=21)
+    b.add_argument("--minimizer-w", type=int, default=1)
+    b.add_argument("--load-factor", type=float, default=0.7)
+    b.add_argument("--out", required=True)
+
+    c = sub.add_parser("classify", help="classify reads against an index")
+    c.add_argument("--config", default=None, help="RunConfig JSON")
+    c.add_argument("--index", nargs="+", default=None,
+                   help="index dir(s); 2+ = multi-k merged")
+    c.add_argument("--reads", nargs="+", default=None)
+    c.add_argument("--mates", nargs="+", default=None,
+                   help="mate-2 files (paired-end)")
+    c.add_argument("--samples", nargs="+", default=None)
+    c.add_argument("--out", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("overrides", nargs="*",
+                   help="dotted config overrides key.path=value")
+
+    r = sub.add_parser("report", help="summaries from assignment TSVs")
+    r.add_argument("--assignments", nargs="+", required=True)
+    r.add_argument("--samples", nargs="+", default=None)
+    r.add_argument("--taxonomy", required=True,
+                   help="taxonomy NPZ/TSV (e.g. <index>/taxonomy.npz)")
+    r.add_argument("--out-dir", required=True)
+
+    g = sub.add_parser("gen-testdata",
+                       help="synthetic taxonomy/genomes/reads with truth")
+    g.add_argument("--out", required=True)
+    g.add_argument("--reads", type=int, default=10000)
+    g.add_argument("--read-len", type=int, default=150)
+    g.add_argument("--genome-len", type=int, default=20000)
+    g.add_argument("--paired", action="store_true")
+    g.add_argument("--n-prob", type=float, default=0.005)
+    g.add_argument("--seed", type=int, default=0)
+
+    be = sub.add_parser("bench", help="run the benchmark harness")
+    be.add_argument("--config", default=None)
+    be.add_argument("overrides", nargs="*")
+
+    args = p.parse_args(argv)
+    return {"build": _cmd_build, "classify": _cmd_classify,
+            "report": _cmd_report, "gen-testdata": _cmd_gen,
+            "bench": _cmd_bench}[args.cmd](args)
+
+
+def _cmd_build(args) -> int:
+    from .pipeline import run_build
+    run_build(refs=args.refs, taxonomy_path=args.taxonomy, k=args.k,
+              out=args.out, w=args.minimizer_w, names_dmp=args.names_dmp,
+              taxid_map_path=args.taxid_map, load_factor=args.load_factor)
+    return 0
+
+
+def _cmd_classify(args) -> int:
+    from .config import load_config
+    from .pipeline import run_classify
+    cfg = load_config(args.config, args.overrides)
+    if args.index:
+        cfg.classify.index = args.index
+    if args.reads:
+        cfg.input.reads = args.reads
+    if args.mates:
+        cfg.input.mates = args.mates
+    if args.samples:
+        cfg.input.samples = args.samples
+    if args.out:
+        cfg.classify.out_dir = args.out
+    if args.resume:
+        cfg.classify.resume = True
+    result = run_classify(cfg)
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
+def _cmd_report(args) -> int:
+    import os
+
+    import numpy as np
+
+    from .pipeline.run import load_taxonomy_any
+    from .report import read_assignments, write_cohort_summary, write_summary
+    from .report import stats as report_stats
+    from .report.writers import summarize
+
+    tax = load_taxonomy_any(args.taxonomy)
+    os.makedirs(args.out_dir, exist_ok=True)
+    samples = args.samples or [os.path.basename(a).split(".")[0]
+                               for a in args.assignments]
+    sample_taxa = {}
+    stats_out = {}
+    for sample, path in zip(samples, args.assignments):
+        recs = read_assignments(path)
+        taxa = np.array([r.taxon for r in recs], dtype=np.int64)
+        sample_taxa[sample] = taxa
+        write_summary(os.path.join(args.out_dir, f"{sample}.summary.tsv"),
+                      taxa, tax)
+        direct, _ = summarize(taxa, tax)
+        stats_out[sample] = report_stats.sample_stats(direct[1:])
+    if len(sample_taxa) > 1:
+        write_cohort_summary(os.path.join(args.out_dir,
+                                          "cohort.summary.tsv"),
+                             sample_taxa, tax, sample_order=samples)
+    with open(os.path.join(args.out_dir, "stats.json"), "w") as fh:
+        json.dump(stats_out, fh, indent=2, sort_keys=True)
+    return 0
+
+
+def _cmd_gen(args) -> int:
+    import os
+
+    import numpy as np
+
+    from .utils import datagen
+
+    os.makedirs(args.out, exist_ok=True)
+    tax = datagen.make_taxonomy(seed=args.seed)
+    genomes = datagen.make_genomes(tax, genome_len=args.genome_len,
+                                   seed=args.seed + 1)
+    datagen.write_fasta(os.path.join(args.out, "refs.fasta"), genomes, tax)
+    datagen.write_taxonomy_tsv(os.path.join(args.out, "taxonomy.tsv"), tax)
+    rs = datagen.sample_reads(genomes, args.reads, read_len=args.read_len,
+                              paired=args.paired, n_prob=args.n_prob,
+                              seed=args.seed + 2)
+    datagen.write_fastq(os.path.join(args.out, "reads_1.fastq"), rs, mate=1)
+    if args.paired:
+        datagen.write_fastq(os.path.join(args.out, "reads_2.fastq"), rs,
+                            mate=2)
+    np.savetxt(os.path.join(args.out, "truth.tsv"),
+               np.column_stack([np.arange(len(rs.truth)), rs.truth]),
+               fmt="%d", delimiter="\t", header="read_idx\ttaxid")
+    print(f"wrote {args.reads} reads ({'paired' if args.paired else 'single'}"
+          f"-end), {len(genomes)} genomes, {tax.num_taxa} taxa -> {args.out}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from .bench import run_bench
+    line = run_bench(config_path=args.config, overrides=args.overrides)
+    print(json.dumps(line, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

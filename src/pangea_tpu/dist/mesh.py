@@ -1,0 +1,138 @@
+"""Mesh / distribution runtime (SURVEY.md C16, C12; §3.3, §3.4).
+
+The TPU-native replacement for the reference's process/thread parallelism:
+a 2-D named mesh ``("data", "shard")`` over the pod slice —
+
+- **data** axis: read batches stream data-parallel (inference-style DP —
+  no gradient sync; the reference's per-file/thread loop).
+- **shard** axis: the k-mer index is the "weight"; it is hash-sharded
+  (SEMANTICS.md §5.1) along this axis, the TP analog. Every device probes
+  its local shard for ALL its reads; per-position hit arrays have disjoint
+  support across shards, so the merge is ONE ``psum`` over the shard axis
+  riding ICI (SEMANTICS.md §11 — bit-exact for every mesh shape).
+- Small indexes replicate instead (shard axis of size 1): the
+  "replicated when small" placement of the driver spec.
+
+Multi-host bring-up goes through ``jax.distributed.initialize`` (see
+``initialize_multihost``); single-process multi-device (one host, or the
+CPU-simulated 8-device mesh in tests) needs no rendezvous.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..classify.engine import ClassifyConfig, DeviceIndex, hits_single_shard
+from ..index import Index
+from ..kernels import score_reads_jnp
+
+DATA_AXIS = "data"
+SHARD_AXIS = "shard"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    n_data: int
+    n_shard: int
+
+
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-process (DCN) rendezvous. No-op for single-process runs."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def choose_mesh(n_devices: int, index_bytes: int,
+                per_device_hbm_budget: int = 12 << 30) -> MeshConfig:
+    """Placement policy (SURVEY.md §4.3): replicate when the index fits the
+    per-chip HBM budget, else the smallest power-of-two shard axis that
+    makes each shard fit; remaining devices go data-parallel."""
+    n_shard = 1
+    while n_shard < n_devices and index_bytes // n_shard > per_device_hbm_budget:
+        n_shard *= 2
+    return MeshConfig(n_data=n_devices // n_shard, n_shard=n_shard)
+
+
+def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = cfg.n_data * cfg.n_shard
+    if devices.size < n:
+        raise ValueError(f"need {n} devices, have {devices.size}")
+    grid = devices[:n].reshape(cfg.n_data, cfg.n_shard)
+    return Mesh(grid, (DATA_AXIS, SHARD_AXIS))
+
+
+def place_index(index: Index, mesh: Mesh,
+                confidence_threshold: float = 0.0) -> DeviceIndex:
+    """Build a DeviceIndex sharded/replicated onto the mesh: table arrays
+    [n_shards, S] split along the shard axis, taxonomy replicated."""
+    n_shard = mesh.shape[SHARD_AXIS]
+    di = DeviceIndex.from_index(index, n_shards=n_shard,
+                                confidence_threshold=confidence_threshold,
+                                device_put=False)
+    tab_sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
+    rep_sharding = NamedSharding(mesh, P())
+    return DeviceIndex(
+        key_hi=jax.device_put(di.key_hi, tab_sharding),
+        key_lo=jax.device_put(di.key_lo, tab_sharding),
+        val=jax.device_put(di.val, tab_sharding),
+        tax={k: jax.device_put(v, rep_sharding) for k, v in di.tax.items()},
+        cfg=di.cfg,
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for read batches: rows split along the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, None))
+
+
+def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
+                             paired: bool = False):
+    """The distributed classify step: shard_map over (data, shard) with one
+    psum merging the disjoint per-position hit arrays (SEMANTICS.md §5.1,
+    §11) before scoring. Returns fn(tables, bases[, mate_bases]) -> dict of
+    int32 [B] outputs (replicated along shard, sharded along data)."""
+    from jax import shard_map
+
+    def local_step(tables, bases, mate_bases):
+        # Local views inside shard_map: tables [1, S_local]; bases [b, L].
+        t = {"key_hi": tables["key_hi"][0], "key_lo": tables["key_lo"][0],
+             "val": tables["val"][0], "tax": tables["tax"]}
+        sid = jax.lax.axis_index(SHARD_AXIS)
+        taxon, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid)
+        if paired:
+            taxon2, nvalid2 = hits_single_shard(t, mate_bases, cfg,
+                                                shard_id=sid)
+            taxon = jnp.concatenate([taxon, taxon2], axis=1)
+            nvalid = nvalid + nvalid2
+        # THE collective: disjoint supports sum exactly (ICI all-reduce).
+        taxon = jax.lax.psum(taxon, SHARD_AXIS)
+        return score_reads_jnp(taxon, nvalid, tables["tax"],
+                               cfg.confidence_threshold)
+
+    tab_specs = {"key_hi": P(SHARD_AXIS, None), "key_lo": P(SHARD_AXIS, None),
+                 "val": P(SHARD_AXIS, None),
+                 "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
+                                                     "parent": 0, "depth": 0,
+                                                     "up": 0})}
+    out_spec = {"taxon": P(DATA_AXIS), "best": P(DATA_AXIS),
+                "nvalid": P(DATA_AXIS)}
+
+    if paired:
+        fn = shard_map(local_step, mesh=mesh,
+                       in_specs=(tab_specs, P(DATA_AXIS, None),
+                                 P(DATA_AXIS, None)),
+                       out_specs=out_spec, check_vma=False)
+        return jax.jit(fn)
+    fn = shard_map(lambda tables, bases: local_step(tables, bases, None),
+                   mesh=mesh, in_specs=(tab_specs, P(DATA_AXIS, None)),
+                   out_specs=out_spec, check_vma=False)
+    return jax.jit(fn)
