@@ -61,48 +61,65 @@ def aggregate_kmers(genomes, k: int, w: int, taxonomy: Taxonomy,
     return uk, ut
 
 
+WAYS = 8  # bucket width (SEMANTICS.md §5): one 96 B row gather per probe
+
+
 def layout_table(kmers: np.ndarray, taxa: np.ndarray,
                  load_factor: float = 0.7):
-    """Place (kmer → taxon) pairs into the open-addressing arrays.
+    """Place (kmer → taxon) pairs into the bucketized open-addressing table
+    (SEMANTICS.md §5, v2): NB power-of-two buckets × WAYS lanes; home bucket
+    ``hash32 & (NB-1)``; deterministic parallel-round bucket fill — in round
+    r every unplaced k-mer targets ``(home + r) & (NB-1)``, and within each
+    bucket contenders in ascending canonical order claim free lanes in
+    ascending lane order. Spill past a bucket happens only once it is
+    completely full, which is what makes lookup's early-exit-on-empty-lane
+    rule exact.
 
-    Insertion in ascending canonical order with linear probing
-    (SEMANTICS.md §5). Returns (key_hi, key_lo, val, size, max_probe)."""
+    Returns (key_hi [NB, WAYS], key_lo [NB, WAYS], val [NB, WAYS],
+    n_buckets, max_probe)."""
+    kmers = np.asarray(kmers, dtype=np.uint64)
     n = kmers.shape[0]
-    size = 64
-    while size * load_factor < max(n, 1):
-        size *= 2
-    mask = np.uint32(size - 1)
-    key_hi = np.full(size, EMPTY_HI, dtype=np.uint32)
-    key_lo = np.zeros(size, dtype=np.uint32)
-    val = np.zeros(size, dtype=np.int32)
+    if n > 1 and not (kmers[1:] > kmers[:-1]).all():
+        order = np.argsort(kmers, kind="stable")
+        kmers, taxa = kmers[order], np.asarray(taxa)[order]
+    nb = 8
+    while nb * WAYS * load_factor < max(n, 1):
+        nb *= 2
+    key_hi = np.full((nb, WAYS), EMPTY_HI, dtype=np.uint32)
+    key_lo = np.zeros((nb, WAYS), dtype=np.uint32)
+    val = np.zeros((nb, WAYS), dtype=np.int32)
+    fill = np.zeros(nb, dtype=np.int64)
     hi = (kmers >> np.uint64(32)).astype(np.uint32)
     lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    slot = (hash32_np(kmers) & mask).astype(np.int64)
-    max_probe = 0
-    # Vectorized rounds of linear probing: attempt to claim slots; collisions
-    # (slot occupied, or two pending keys hashing to one slot) retry at +1.
+    home = (hash32_np(kmers) & np.uint32(nb - 1)).astype(np.int64)
     pending = np.arange(n)
-    cur = slot.copy()
-    probes = 1
+    max_probe = 1
+    r = 0
     while pending.size:
-        s = cur[pending]
-        free = key_hi[s] == EMPTY_HI
-        cand = pending[free]
-        sc = s[free]
-        # First claimant per slot wins this round (np.unique keeps first
-        # occurrence = lowest kmer index = ascending canonical order).
-        uniq_s, first = np.unique(sc, return_index=True)
-        winners = cand[first]
-        key_hi[cur[winners]] = hi[winners]
-        key_lo[cur[winners]] = lo[winners]
-        val[cur[winners]] = taxa[winners]
-        max_probe = max(max_probe, probes)
-        won = np.zeros(n, dtype=bool)
-        won[winners] = True
-        pending = pending[~won[pending]]
-        cur[pending] = (cur[pending] + 1) & np.int64(size - 1)
-        probes += 1
-    return key_hi, key_lo, val, size, max_probe
+        b = (home[pending] + r) & np.int64(nb - 1)
+        # Stable sort by bucket keeps ascending-canonical order within each
+        # bucket group (pending is always ascending).
+        order = np.argsort(b, kind="stable")
+        bs, ps = b[order], pending[order]
+        newgrp = np.concatenate([[True], bs[1:] != bs[:-1]])
+        grp = np.cumsum(newgrp) - 1
+        first = np.flatnonzero(newgrp)
+        rank = np.arange(bs.size) - first[grp]
+        free = WAYS - fill[bs]
+        place = rank < free
+        lanes = fill[bs] + rank
+        tgt = ps[place]
+        key_hi[bs[place], lanes[place]] = hi[tgt]
+        key_lo[bs[place], lanes[place]] = lo[tgt]
+        val[bs[place], lanes[place]] = taxa[tgt]
+        np.add.at(fill, bs[place], 1)
+        if place.any():
+            max_probe = r + 1
+        # Restore ascending index order (= ascending canonical) for the
+        # next round's within-bucket ordering rule.
+        pending = np.sort(ps[~place])
+        r += 1
+    return key_hi, key_lo, val, nb, max_probe
 
 
 def build_index(genomes, taxonomy: Taxonomy, k: int, w: int = 1,
@@ -111,10 +128,11 @@ def build_index(genomes, taxonomy: Taxonomy, k: int, w: int = 1,
     if k % 2 == 0 or not (1 <= k <= 31):
         raise ValueError("k must be odd and 1..31 (SEMANTICS.md §2)")
     uk, ut = aggregate_kmers(genomes, k, w, taxonomy, progress=progress)
-    key_hi, key_lo, val, size, max_probe = layout_table(uk, ut, load_factor)
+    key_hi, key_lo, val, nb, max_probe = layout_table(uk, ut, load_factor)
     from .. import SEMANTICS_VERSION
     meta = IndexMeta(
-        k=k, w=w, size=size, max_probe=max_probe, n_kmers=int(uk.shape[0]),
+        k=k, w=w, n_buckets=nb, ways=WAYS, max_probe=max_probe,
+        n_kmers=int(uk.shape[0]),
         taxonomy_hash=taxonomy.content_hash(),
         semantics_version=SEMANTICS_VERSION,
     )

@@ -1,17 +1,20 @@
 """Index container & serialization (SURVEY.md C7/C8).
 
-The on-device layout IS the on-disk layout: a power-of-two open-addressing
-table as three dense arrays (``key_hi``/``key_lo`` uint32, ``val`` int32 —
-SEMANTICS.md §5) that `jax.device_put` can ship to HBM unchanged. On disk an
-index is a directory::
+The on-device layout IS the on-disk layout: a bucketized power-of-two
+open-addressing table (SEMANTICS.md §5 v2 — NB buckets × 8 ways) as three
+dense arrays (``key_hi``/``key_lo`` uint32[NB, 8], ``val`` int32[NB, 8])
+that `jax.device_put` can ship to HBM unchanged. A lookup gathers ONE
+contiguous bucket row (96 B) per probe round and compares 8 lanes on the
+VPU — the TPU-native replacement for a pointer/probe-chain hash table. On
+disk an index is a directory::
 
-    meta.json      header: k, w, size, max_probe, counts, hashes, version
-    key_hi.npy     uint32[S]   (np.load mmap-able)
-    key_lo.npy     uint32[S]
-    val.npy        int32[S]
+    meta.json      header: k, w, n_buckets, ways, max_probe, counts, hashes
+    key_hi.npy     uint32[NB, 8]   (np.load mmap-able)
+    key_lo.npy     uint32[NB, 8]
+    val.npy        int32[NB, 8]
     taxonomy.npz   the taxonomy the index was built against
 
-Empty slots carry ``key_hi == EMPTY_HI`` (0xFFFFFFFF — unreachable for valid
+Empty lanes carry ``key_hi == EMPTY_HI`` (0xFFFFFFFF — unreachable for valid
 k-mers with k ≤ 31).
 """
 from __future__ import annotations
@@ -25,19 +28,25 @@ import numpy as np
 from ..taxonomy import Taxonomy
 
 EMPTY_HI = np.uint32(0xFFFFFFFF)
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 @dataclass
 class IndexMeta:
     k: int
     w: int                  # minimizer window (1 = every k-mer)
-    size: int               # table slots S (power of two)
-    max_probe: int          # longest probe chain at build time (exact bound)
+    n_buckets: int          # NB (power of two)
+    ways: int               # lanes per bucket (8)
+    max_probe: int          # bucket rounds needed at build time (exact bound)
     n_kmers: int            # distinct k-mers stored
     taxonomy_hash: str
     semantics_version: int
     format_version: int = FORMAT_VERSION
+
+    @property
+    def size(self) -> int:
+        """Total slots (NB × ways)."""
+        return self.n_buckets * self.ways
 
 
 class Index:
@@ -54,30 +63,32 @@ class Index:
     # ------------------------------------------------------------ lookups
     def lookup_np(self, canon: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """Host-side lookup (golden path). canon uint64 → taxon int32
-        (0 = miss). Probes exactly per SEMANTICS.md §5."""
+        (0 = miss). Probes exactly per SEMANTICS.md §5 v2: one bucket row
+        per round; a hit lane yields its val; any empty lane in the bucket
+        means ABSENT (nothing spills past a non-full bucket)."""
         from ..core import hash32_np
         canon = np.asarray(canon, dtype=np.uint64)
-        S = self.meta.size
-        mask = np.uint32(S - 1)
+        nb = self.meta.n_buckets
+        mask = np.uint32(nb - 1)
         hi = (canon >> np.uint64(32)).astype(np.uint32)
         lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        slot = hash32_np(canon) & mask
+        bkt = (hash32_np(canon) & mask).astype(np.int64)
         out = np.zeros(canon.shape, dtype=np.int32)
         alive = np.asarray(valid, dtype=bool).copy()
         for _ in range(self.meta.max_probe):
             if not alive.any():
                 break
-            s = slot[alive]
-            khi = self.key_hi[s]
-            klo = self.key_lo[s]
-            hit = (khi == hi[alive]) & (klo == lo[alive])
-            empty = khi == EMPTY_HI
             idx = np.flatnonzero(alive)
-            out[idx[hit]] = self.val[s[hit]]
-            # keep probing only where neither hit nor empty
-            cont = ~(hit | empty)
-            alive[idx[~cont]] = False
-            slot = (slot + np.uint32(1)) & mask
+            b = bkt[idx]
+            khi = self.key_hi[b]                       # [n, W]
+            klo = self.key_lo[b]
+            hitlane = (khi == hi[idx, None]) & (klo == lo[idx, None])
+            anyhit = hitlane.any(axis=1)
+            lane = np.argmax(hitlane, axis=1)
+            out[idx[anyhit]] = self.val[b[anyhit], lane[anyhit]]
+            has_empty = (khi == EMPTY_HI).any(axis=1)
+            alive[idx[anyhit | has_empty]] = False
+            bkt = (bkt + 1) & np.int64(nb - 1)
         return out
 
     # -------------------------------------------------------------- serde

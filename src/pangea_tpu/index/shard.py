@@ -27,7 +27,7 @@ def extract_pairs(index: Index):
 
 
 def shard_tables(index: Index, n_shards: int, load_factor: float = 0.7):
-    """Returns (key_hi, key_lo, val) stacked as [n_shards, S_max] plus
+    """Returns (key_hi, key_lo, val) stacked as [n_shards, NB_max, W] plus
     max_probe (max over shards). n_shards must be a power of two."""
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
@@ -41,17 +41,19 @@ def shard_tables(index: Index, n_shards: int, load_factor: float = 0.7):
     for s in range(n_shards):
         m = owner == s
         parts.append(layout_table(canon[m], taxa[m], load_factor))
-    s_max = max(p[3] for p in parts)
+    nb_max = max(p[3] for p in parts)
+    W = parts[0][0].shape[1]
     max_probe = max(p[4] for p in parts)
-    key_hi = np.full((n_shards, s_max), EMPTY_HI, dtype=np.uint32)
-    key_lo = np.zeros((n_shards, s_max), dtype=np.uint32)
-    val = np.zeros((n_shards, s_max), dtype=np.int32)
-    for s, (khi, klo, v, size, _) in enumerate(parts):
-        # Sub-table sizes are powers of two ≤ s_max; replicate the table
-        # s_max/size times so `slot = hash & (s_max-1)` lands on a correct
-        # copy — keeps probe semantics identical without re-layout.
-        reps = s_max // size
-        key_hi[s] = np.tile(khi, reps)
-        key_lo[s] = np.tile(klo, reps)
-        val[s] = np.tile(v, reps)
+    key_hi = np.full((n_shards, nb_max, W), EMPTY_HI, dtype=np.uint32)
+    key_lo = np.zeros((n_shards, nb_max, W), dtype=np.uint32)
+    val = np.zeros((n_shards, nb_max, W), dtype=np.int32)
+    for s, (khi, klo, v, nb, _) in enumerate(parts):
+        # Sub-table bucket counts are powers of two ≤ nb_max; replicate the
+        # table nb_max/nb times so `bucket = hash & (nb_max-1)` lands on a
+        # correct copy — probe semantics identical without re-layout
+        # ((home + r) mod nb_max ≡ (home + r) mod nb within each copy).
+        reps = nb_max // nb
+        key_hi[s] = np.tile(khi, (reps, 1))
+        key_lo[s] = np.tile(klo, (reps, 1))
+        val[s] = np.tile(v, (reps, 1))
     return key_hi, key_lo, val, max_probe

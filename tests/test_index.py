@@ -58,19 +58,42 @@ def test_layout_determinism(world):
 
 def test_probe_bound(world):
     _, _, idx, _ = world
-    # max_probe recorded in meta must actually bound every key's probe chain
+    # max_probe recorded in meta must actually bound every key's bucket chain
     canon, taxa = extract_pairs(idx)
-    S = idx.meta.size
-    h = (hash32_np(canon) & np.uint32(S - 1)).astype(np.int64)
+    nb = idx.meta.n_buckets
+    home = (hash32_np(canon) & np.uint32(nb - 1)).astype(np.int64)
     hi = (canon >> np.uint64(32)).astype(np.uint32)
     lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     found = np.zeros(canon.shape, bool)
-    slot = h.copy()
-    for _ in range(idx.meta.max_probe):
-        m = (idx.key_hi[slot] == hi) & (idx.key_lo[slot] == lo)
+    for r in range(idx.meta.max_probe):
+        b = (home + r) & (nb - 1)
+        m = ((idx.key_hi[b] == hi[:, None])
+             & (idx.key_lo[b] == lo[:, None])).any(axis=1)
         found |= m
-        slot = (slot + 1) & (S - 1)
     assert found.all()
+
+
+def test_spill_invariant(world):
+    # A k-mer placed in round r implies buckets home..home+r-1 are full:
+    # lookup's stop-on-empty-lane rule depends on it (SEMANTICS.md §5 v2).
+    _, _, idx, _ = world
+    from pangea_tpu.index.container import EMPTY_HI as E
+    canon, _ = extract_pairs(idx)
+    nb = idx.meta.n_buckets
+    home = (hash32_np(canon) & np.uint32(nb - 1)).astype(np.int64)
+    hi = (canon >> np.uint64(32)).astype(np.uint32)
+    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    full = (idx.key_hi != np.uint32(E)).all(axis=1)
+    resolved = np.zeros(canon.shape, bool)
+    for r in range(idx.meta.max_probe):
+        b = (home + r) & (nb - 1)
+        m = ((idx.key_hi[b] == hi[:, None])
+             & (idx.key_lo[b] == lo[:, None])).any(axis=1)
+        # not yet found and not yet resolved → this bucket must be full
+        pending = ~resolved & ~m
+        assert full[b[pending]].all()
+        resolved |= m
+    assert resolved.all()
 
 
 def test_save_load_roundtrip(tmp_path, world):
