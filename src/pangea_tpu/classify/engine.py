@@ -28,7 +28,6 @@ from ..kernels import extract_kmers_jnp, lookup_jnp, score_reads_jnp
 class ClassifyConfig:
     """Static classify parameters (hashable — safe to close over in jit)."""
     k: int
-    max_probe: int
     n_shards: int = 1
     confidence_threshold: float = 0.0
 
@@ -48,14 +47,14 @@ class DeviceIndex:
     def from_index(cls, index: Index, n_shards: int = 1,
                    confidence_threshold: float = 0.0,
                    device_put: bool = True) -> "DeviceIndex":
-        key_hi, key_lo, val, max_probe = shard_tables(index, n_shards)
+        key_hi, key_lo, val = shard_tables(index, n_shards)
         tax = index.taxonomy.device_arrays()
         if device_put:
             key_hi, key_lo, val = (jax.device_put(x)
                                    for x in (key_hi, key_lo, val))
             tax = {k: jax.device_put(v) for k, v in tax.items()}
         cfg = ClassifyConfig(
-            k=index.meta.k, max_probe=max_probe, n_shards=n_shards,
+            k=index.meta.k, n_shards=n_shards,
             confidence_threshold=confidence_threshold,
         )
         return cls(key_hi=key_hi, key_lo=key_lo, val=val, tax=tax, cfg=cfg)
@@ -72,8 +71,8 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     shard's table (tables arrays already sliced to this shard: [S])."""
     hi, lo, valid = extract_kmers_jnp(bases, cfg.k)
     taxon = lookup_jnp(hi, lo, valid, tables["key_hi"], tables["key_lo"],
-                       tables["val"], max_probe=cfg.max_probe,
-                       n_shards=cfg.n_shards, shard_id=shard_id)
+                       tables["val"], n_shards=cfg.n_shards,
+                       shard_id=shard_id)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     return taxon, nvalid
 

@@ -8,7 +8,7 @@ contiguous bucket row (96 B) per probe round and compares 8 lanes on the
 VPU — the TPU-native replacement for a pointer/probe-chain hash table. On
 disk an index is a directory::
 
-    meta.json      header: k, w, n_buckets, ways, max_probe, counts, hashes
+    meta.json      header: k, w, n_buckets, ways, counts, hashes
     key_hi.npy     uint32[NB, 8]   (np.load mmap-able)
     key_lo.npy     uint32[NB, 8]
     val.npy        int32[NB, 8]
@@ -28,7 +28,7 @@ import numpy as np
 from ..taxonomy import Taxonomy
 
 EMPTY_HI = np.uint32(0xFFFFFFFF)
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 @dataclass
@@ -37,7 +37,6 @@ class IndexMeta:
     w: int                  # minimizer window (1 = every k-mer)
     n_buckets: int          # NB (power of two)
     ways: int               # lanes per bucket (8)
-    max_probe: int          # bucket rounds needed at build time (exact bound)
     n_kmers: int            # distinct k-mers stored
     taxonomy_hash: str
     semantics_version: int
@@ -63,32 +62,22 @@ class Index:
     # ------------------------------------------------------------ lookups
     def lookup_np(self, canon: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """Host-side lookup (golden path). canon uint64 → taxon int32
-        (0 = miss). Probes exactly per SEMANTICS.md §5 v2: one bucket row
-        per round; a hit lane yields its val; any empty lane in the bucket
-        means ABSENT (nothing spills past a non-full bucket)."""
-        from ..core import hash32_np
+        (0 = miss). Exactly per SEMANTICS.md §5 v3: gather the two candidate
+        buckets, compare all 16 lanes, matching lane yields its val."""
+        from .build import bucket_pair_np
         canon = np.asarray(canon, dtype=np.uint64)
-        nb = self.meta.n_buckets
-        mask = np.uint32(nb - 1)
         hi = (canon >> np.uint64(32)).astype(np.uint32)
         lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        bkt = (hash32_np(canon) & mask).astype(np.int64)
+        b1, b2 = bucket_pair_np(canon, self.meta.n_buckets)
         out = np.zeros(canon.shape, dtype=np.int32)
-        alive = np.asarray(valid, dtype=bool).copy()
-        for _ in range(self.meta.max_probe):
-            if not alive.any():
-                break
-            idx = np.flatnonzero(alive)
-            b = bkt[idx]
-            khi = self.key_hi[b]                       # [n, W]
-            klo = self.key_lo[b]
-            hitlane = (khi == hi[idx, None]) & (klo == lo[idx, None])
+        alive = np.asarray(valid, dtype=bool)
+        idx = np.flatnonzero(alive)
+        for b in (b1[idx], b2[idx]):
+            hitlane = ((self.key_hi[b] == hi[idx, None])
+                       & (self.key_lo[b] == lo[idx, None]))
             anyhit = hitlane.any(axis=1)
             lane = np.argmax(hitlane, axis=1)
             out[idx[anyhit]] = self.val[b[anyhit], lane[anyhit]]
-            has_empty = (khi == EMPTY_HI).any(axis=1)
-            alive[idx[anyhit | has_empty]] = False
-            bkt = (bkt + 1) & np.int64(nb - 1)
         return out
 
     # -------------------------------------------------------------- serde
@@ -123,4 +112,4 @@ class Index:
     def __repr__(self) -> str:
         m = self.meta
         return (f"Index(k={m.k}, w={m.w}, slots={m.size}, kmers={m.n_kmers}, "
-                f"max_probe={m.max_probe}, {self.nbytes/1e6:.1f} MB)")
+                f"{self.nbytes/1e6:.1f} MB)")

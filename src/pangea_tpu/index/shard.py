@@ -27,8 +27,8 @@ def extract_pairs(index: Index):
 
 
 def shard_tables(index: Index, n_shards: int, load_factor: float = 0.7):
-    """Returns (key_hi, key_lo, val) stacked as [n_shards, NB_max, W] plus
-    max_probe (max over shards). n_shards must be a power of two."""
+    """Returns (key_hi, key_lo, val) stacked as [n_shards, NB_max, W].
+    n_shards must be a power of two."""
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
     canon, taxa = extract_pairs(index)
@@ -43,17 +43,16 @@ def shard_tables(index: Index, n_shards: int, load_factor: float = 0.7):
         parts.append(layout_table(canon[m], taxa[m], load_factor))
     nb_max = max(p[3] for p in parts)
     W = parts[0][0].shape[1]
-    max_probe = max(p[4] for p in parts)
     key_hi = np.full((n_shards, nb_max, W), EMPTY_HI, dtype=np.uint32)
     key_lo = np.zeros((n_shards, nb_max, W), dtype=np.uint32)
     val = np.zeros((n_shards, nb_max, W), dtype=np.int32)
-    for s, (khi, klo, v, nb, _) in enumerate(parts):
+    for s, (khi, klo, v, nb) in enumerate(parts):
         # Sub-table bucket counts are powers of two ≤ nb_max; replicate the
         # table nb_max/nb times so `bucket = hash & (nb_max-1)` lands on a
-        # correct copy — probe semantics identical without re-layout
-        # ((home + r) mod nb_max ≡ (home + r) mod nb within each copy).
+        # correct copy — b1/b2 mod nb_max ≡ b1/b2 mod nb within each copy,
+        # so the §5 lookup is unchanged without re-layout.
         reps = nb_max // nb
         key_hi[s] = np.tile(khi, (reps, 1))
         key_lo[s] = np.tile(klo, (reps, 1))
         val[s] = np.tile(v, (reps, 1))
-    return key_hi, key_lo, val, max_probe
+    return key_hi, key_lo, val

@@ -1,10 +1,12 @@
 """On-device hash-and-lookup (SURVEY.md C10), jnp path.
 
-The index's bucketized open-addressing table (SEMANTICS.md §5 v2) lives in
-HBM as dense uint32/int32 [NB, 8] arrays; probing is one contiguous bucket
-row gather over the whole [B, P] k-mer batch per round plus lane-parallel
-compares, and max_probe is ≈1–4 because spill requires a full 8-way bucket.
-Ownership check
+The index's 2-choice bucketized table (SEMANTICS.md §5 v3) lives in HBM as
+dense uint32/int32 [NB, 8] arrays; a lookup is exactly TWO independent
+contiguous bucket-row gathers over the whole [B, P] k-mer batch plus 16
+lane-parallel compares on the VPU. No data-dependent probe chains: round
+count is a compile-time constant 2, and the two gathers pipeline because
+neither depends on the other (measured on TPU v5e: a dependent probe round
+costs ~5 ms per 2M k-mers; independent gathers overlap). Ownership check
 implements the sharded-index rule of SEMANTICS.md §5.1: a shard probes only
 k-mers whose top hash bits name it, everything else reports taxon 0 and is
 merged by a later psum.
@@ -17,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 _GOLD = jnp.uint32(0x9E3779B9)
+_CUCKOO_SALT = jnp.uint32(0xB2D05E13)
 _EMPTY_HI = jnp.uint32(0xFFFFFFFF)
 
 
@@ -34,18 +37,13 @@ def hash32_jnp(hi, lo):
     return mix32_jnp(mix32_jnp(lo ^ _GOLD) ^ hi)
 
 
-def lookup_jnp(hi, lo, valid, key_hi, key_lo, val, *, max_probe: int,
+def lookup_jnp(hi, lo, valid, key_hi, key_lo, val, *,
                n_shards: int = 1, shard_id=0):
-    """Probe one (possibly sharded) bucketized table (SEMANTICS.md §5 v2).
+    """Probe one (possibly sharded) 2-choice table (SEMANTICS.md §5 v3).
 
     hi/lo/valid: uint32/bool [B, P] from extract_kmers_jnp.
     key_hi/key_lo: uint32 [NB, W]; val: int32 [NB, W] — THIS shard's table.
     Returns taxon int32 [B, P] (0 = miss, not owned, or invalid).
-
-    One probe round = ONE row gather per array + 8 lane compares on the VPU;
-    max_probe (from the index header) is tiny (≈1–4 at 0.7 load) because a
-    k-mer spills only past completely-full 8-way buckets — this is the
-    bucketization payoff vs the probe chains of a flat table.
     """
     nb = key_hi.shape[0]
     bmask = jnp.uint32(nb - 1)
@@ -56,31 +54,17 @@ def lookup_jnp(hi, lo, valid, key_hi, key_lo, val, *, max_probe: int,
         mine = valid & (owner == jnp.uint32(shard_id))
     else:
         mine = valid
-    bkt0 = (h & bmask).astype(jnp.int32)
+    b1 = (h & bmask).astype(jnp.int32)
+    b2 = (mix32_jnp(h ^ _CUCKOO_SALT) & bmask).astype(jnp.int32)
 
-    # Unrolled fixed-trip rounds rather than a data-dependent while_loop:
-    # early exit would force a device→host sync per round (and hangs on the
-    # axon PJRT backend); max_probe is a small exact bound, round ≥2 work is
-    # masked row gathers.
-    def round_(state, _):
-        bkt, alive, result = state
+    # A key is stored at most once, so the two rounds' contributions are
+    # disjoint and sum exactly — except when b1 == b2 (same row gathered
+    # twice), which the second round masks out.
+    result = jnp.zeros(hi.shape, dtype=jnp.int32)
+    for bkt, mask in ((b1, mine), (b2, mine & (b2 != b1))):
         khi = key_hi[bkt]                      # [B, P, W] row gather
         klo = key_lo[bkt]
-        hitlane = (alive[..., None] & (khi == hi[..., None])
+        hitlane = (mask[..., None] & (khi == hi[..., None])
                    & (klo == lo[..., None]))
-        anyhit = jnp.any(hitlane, axis=-1)
-        v = jnp.sum(jnp.where(hitlane, val[bkt], 0), axis=-1)
-        result = jnp.where(anyhit, v, result)
-        has_empty = jnp.any(khi == _EMPTY_HI, axis=-1)
-        alive = alive & ~(anyhit | has_empty)
-        bkt = ((bkt.astype(jnp.uint32) + jnp.uint32(1)) & bmask
-               ).astype(jnp.int32)
-        return (bkt, alive, result), None
-
-    state = (bkt0, mine, jnp.zeros(hi.shape, dtype=jnp.int32))
-    if max_probe <= 2:
-        for _ in range(max_probe):
-            state, _ = round_(state, None)
-    else:
-        state, _ = jax.lax.scan(round_, state, None, length=max_probe)
-    return state[2]
+        result = result + jnp.sum(jnp.where(hitlane, val[bkt], 0), axis=-1)
+    return result

@@ -64,7 +64,7 @@ def test_lookup_matches_numpy(world):
     valid = np.ones(probes.shape, bool)
     got = lookup_jnp(jnp.array(hi), jnp.array(lo), jnp.array(valid),
                      jnp.array(di.key_hi[0]), jnp.array(di.key_lo[0]),
-                     jnp.array(di.val[0]), max_probe=di.cfg.max_probe)
+                     jnp.array(di.val[0]))
     want = idx.lookup_np(probes.ravel(), valid.ravel()).reshape(4, 250)
     np.testing.assert_array_equal(np.asarray(got), want)
 

@@ -56,44 +56,43 @@ def test_layout_determinism(world):
         np.testing.assert_array_equal(x, y)
 
 
-def test_probe_bound(world):
+def test_two_choice_invariant(world):
+    # Every stored k-mer lives in bucket b1 or b2 (SEMANTICS.md §5 v3) and
+    # is stored exactly once.
     _, _, idx, _ = world
-    # max_probe recorded in meta must actually bound every key's bucket chain
-    canon, taxa = extract_pairs(idx)
-    nb = idx.meta.n_buckets
-    home = (hash32_np(canon) & np.uint32(nb - 1)).astype(np.int64)
-    hi = (canon >> np.uint64(32)).astype(np.uint32)
-    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    found = np.zeros(canon.shape, bool)
-    for r in range(idx.meta.max_probe):
-        b = (home + r) & (nb - 1)
-        m = ((idx.key_hi[b] == hi[:, None])
-             & (idx.key_lo[b] == lo[:, None])).any(axis=1)
-        found |= m
-    assert found.all()
-
-
-def test_spill_invariant(world):
-    # A k-mer placed in round r implies buckets home..home+r-1 are full:
-    # lookup's stop-on-empty-lane rule depends on it (SEMANTICS.md §5 v2).
-    _, _, idx, _ = world
-    from pangea_tpu.index.container import EMPTY_HI as E
+    from pangea_tpu.index.build import bucket_pair_np
     canon, _ = extract_pairs(idx)
-    nb = idx.meta.n_buckets
-    home = (hash32_np(canon) & np.uint32(nb - 1)).astype(np.int64)
     hi = (canon >> np.uint64(32)).astype(np.uint32)
     lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    full = (idx.key_hi != np.uint32(E)).all(axis=1)
-    resolved = np.zeros(canon.shape, bool)
-    for r in range(idx.meta.max_probe):
-        b = (home + r) & (nb - 1)
-        m = ((idx.key_hi[b] == hi[:, None])
-             & (idx.key_lo[b] == lo[:, None])).any(axis=1)
-        # not yet found and not yet resolved → this bucket must be full
-        pending = ~resolved & ~m
-        assert full[b[pending]].all()
-        resolved |= m
-    assert resolved.all()
+    b1, b2 = bucket_pair_np(canon, idx.meta.n_buckets)
+    in1 = ((idx.key_hi[b1] == hi[:, None])
+           & (idx.key_lo[b1] == lo[:, None])).sum(axis=1)
+    in2 = ((idx.key_hi[b2] == hi[:, None])
+           & (idx.key_lo[b2] == lo[:, None])).sum(axis=1)
+    same = b1 == b2
+    count = np.where(same, in1, in1 + in2)
+    np.testing.assert_array_equal(count, np.ones_like(count))
+
+
+def test_eviction_path():
+    # Force cuckoo evictions: tiny table at high load. All keys must remain
+    # findable and the 2-choice invariant must hold.
+    from pangea_tpu.index.build import layout_table, bucket_pair_np
+    rng = np.random.default_rng(5)
+    n = 220  # > 0.85 load on 256 slots (nb=32 × 8)
+    kmers = np.unique(rng.integers(0, 1 << 42, size=n * 2).astype(np.uint64))[:n]
+    taxa = rng.integers(1, 100, size=n).astype(np.int32)
+    key_hi, key_lo, val, nb = layout_table(kmers, taxa, load_factor=0.9)
+    hi = (kmers >> np.uint64(32)).astype(np.uint32)
+    lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    b1, b2 = bucket_pair_np(kmers, nb)
+    found = np.zeros(n, dtype=np.int32)
+    for b in (b1, b2):
+        m = (key_hi[b] == hi[:, None]) & (key_lo[b] == lo[:, None])
+        lane = np.argmax(m, axis=1)
+        hitv = val[b, lane]
+        found = np.where(m.any(axis=1) & (found == 0), hitv, found)
+    np.testing.assert_array_equal(found, taxa)
 
 
 def test_save_load_roundtrip(tmp_path, world):
@@ -111,10 +110,10 @@ def test_shard_tables_cover_all_kmers(world):
     _, _, idx, _ = world
     canon, taxa = extract_pairs(idx)
     for n in (1, 2, 4, 8):
-        key_hi, key_lo, val, max_probe = shard_tables(idx, n)
+        key_hi, key_lo, val = shard_tables(idx, n)
         assert key_hi.shape[0] == n
-        S = key_hi.shape[1]
-        assert S & (S - 1) == 0
+        NB = key_hi.shape[1]
+        assert NB & (NB - 1) == 0
         # union of occupied (deduped — padding tiles duplicate) == kmer set
         stored = set()
         for s in range(n):
