@@ -35,11 +35,10 @@ class ClassifyConfig:
 @dataclass
 class DeviceIndex:
     """Device-resident arrays for one index + taxonomy (a pytree of arrays)
-    plus the static config. Taxonomy arrays are replicated; table arrays are
-    stacked [n_shards, S] for placement along the mesh 'shard' axis."""
-    key_hi: jnp.ndarray   # uint32 [n_shards, S]
-    key_lo: jnp.ndarray   # uint32 [n_shards, S]
-    val: jnp.ndarray      # int32  [n_shards, S]
+    plus the static config. Taxonomy arrays are replicated; the fused table
+    is stacked [n_shards, NB, 3W] for placement along the mesh 'shard'
+    axis (fused row layout: see kernels.lookup.fuse_table)."""
+    fused: jnp.ndarray    # uint32 [n_shards, NB, 3W]
     tax: dict             # tin/tout/parent/depth [T+1], up [levels, T+1]
     cfg: ClassifyConfig
 
@@ -47,32 +46,32 @@ class DeviceIndex:
     def from_index(cls, index: Index, n_shards: int = 1,
                    confidence_threshold: float = 0.0,
                    device_put: bool = True) -> "DeviceIndex":
+        from ..kernels.lookup import fuse_table
         key_hi, key_lo, val = shard_tables(index, n_shards)
+        fused = fuse_table(key_hi, key_lo, val)
         tax = index.taxonomy.device_arrays()
         if device_put:
-            key_hi, key_lo, val = (jax.device_put(x)
-                                   for x in (key_hi, key_lo, val))
+            fused = jax.device_put(fused)
             tax = {k: jax.device_put(v) for k, v in tax.items()}
         cfg = ClassifyConfig(
             k=index.meta.k, n_shards=n_shards,
             confidence_threshold=confidence_threshold,
         )
-        return cls(key_hi=key_hi, key_lo=key_lo, val=val, tax=tax, cfg=cfg)
+        return cls(fused=fused, tax=tax, cfg=cfg)
 
     @property
     def tables(self) -> dict:
-        return {"key_hi": self.key_hi, "key_lo": self.key_lo,
-                "val": self.val, "tax": self.tax}
+        return {"fused": self.fused, "tax": self.tax}
 
 
 def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
                       shard_id=0):
     """bases int8 [B, L] → (taxon int32 [B, P], nvalid int32 [B]) on ONE
-    shard's table (tables arrays already sliced to this shard: [S])."""
+    shard's table (tables["fused"] already sliced to this shard:
+    [NB, 3W])."""
     hi, lo, valid = extract_kmers_jnp(bases, cfg.k)
-    taxon = lookup_jnp(hi, lo, valid, tables["key_hi"], tables["key_lo"],
-                       tables["val"], n_shards=cfg.n_shards,
-                       shard_id=shard_id)
+    taxon = lookup_jnp(hi, lo, valid, tables["fused"],
+                       n_shards=cfg.n_shards, shard_id=shard_id)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     return taxon, nvalid
 
@@ -87,8 +86,7 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False):
     """
 
     def fn(tables, bases, mate_bases=None):
-        t = {"key_hi": tables["key_hi"][0], "key_lo": tables["key_lo"][0],
-             "val": tables["val"][0], "tax": tables["tax"]}
+        t = {"fused": tables["fused"][0], "tax": tables["tax"]}
         taxon, nvalid = hits_single_shard(t, bases, cfg)
         if paired:
             taxon2, nvalid2 = hits_single_shard(t, mate_bases, cfg)

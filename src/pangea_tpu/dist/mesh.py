@@ -81,9 +81,7 @@ def place_index(index: Index, mesh: Mesh,
     tab_sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
     rep_sharding = NamedSharding(mesh, P())
     return DeviceIndex(
-        key_hi=jax.device_put(di.key_hi, tab_sharding),
-        key_lo=jax.device_put(di.key_lo, tab_sharding),
-        val=jax.device_put(di.val, tab_sharding),
+        fused=jax.device_put(di.fused, tab_sharding),
         tax={k: jax.device_put(v, rep_sharding) for k, v in di.tax.items()},
         cfg=di.cfg,
     )
@@ -103,9 +101,8 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
     from jax import shard_map
 
     def local_step(tables, bases, mate_bases):
-        # Local views inside shard_map: tables [1, S_local]; bases [b, L].
-        t = {"key_hi": tables["key_hi"][0], "key_lo": tables["key_lo"][0],
-             "val": tables["val"][0], "tax": tables["tax"]}
+        # Local views inside shard_map: fused [1, NB, 3W]; bases [b, L].
+        t = {"fused": tables["fused"][0], "tax": tables["tax"]}
         sid = jax.lax.axis_index(SHARD_AXIS)
         taxon, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid)
         if paired:
@@ -118,8 +115,7 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
         return score_reads_jnp(taxon, nvalid, tables["tax"],
                                cfg.confidence_threshold)
 
-    tab_specs = {"key_hi": P(SHARD_AXIS, None), "key_lo": P(SHARD_AXIS, None),
-                 "val": P(SHARD_AXIS, None),
+    tab_specs = {"fused": P(SHARD_AXIS, None, None),
                  "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
                                                      "parent": 0, "depth": 0,
                                                      "up": 0})}

@@ -29,6 +29,11 @@ class ReadBatch:
     mate_seqs: list[np.ndarray] | None = None  # paired-end mate 2
     mate_quals: list[np.ndarray] | None = None
     sample: str | None = None                  # demux/sample tag
+    # Native-ingest fast path: device-ready padded code matrices (pad=4).
+    # Only valid while seqs are untouched; trim/demux rebuild batches and
+    # drop these (they default to None on any new ReadBatch).
+    padded: np.ndarray | None = None           # int8 [n, max_len]
+    mate_padded: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.ids)

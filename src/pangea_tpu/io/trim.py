@@ -46,6 +46,8 @@ def _trim_one(seq: np.ndarray, qual: np.ndarray | None,
 
 def trim_batch(batch: ReadBatch, cfg: TrimConfig) -> ReadBatch:
     """Trim + filter a batch; returns a new batch (input order preserved)."""
+    if cfg.min_qual <= 0 and not cfg.min_len and not cfg.max_len:
+        return batch  # no-op config: keep the native padded fast path alive
     keep_ids, seqs, quals, mseqs, mquals = [], [], [], [], []
     paired = batch.mate_seqs is not None
     for i in range(len(batch)):

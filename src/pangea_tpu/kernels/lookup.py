@@ -37,16 +37,35 @@ def hash32_jnp(hi, lo):
     return mix32_jnp(mix32_jnp(lo ^ _GOLD) ^ hi)
 
 
-def lookup_jnp(hi, lo, valid, key_hi, key_lo, val, *,
-               n_shards: int = 1, shard_id=0):
+def fuse_table(key_hi, key_lo, val):
+    """[NB, W] ×3 arrays → one uint32 [NB, 3W] row [hi×W | lo×W | val×W].
+    One lookup then gathers ONE contiguous 96 B row per bucket choice —
+    measured ~1.4× faster than three same-index gathers on TPU v5e."""
+    import numpy as np
+    return np.concatenate(
+        [np.asarray(key_hi, dtype=np.uint32),
+         np.asarray(key_lo, dtype=np.uint32),
+         np.asarray(val, dtype=np.int32).view(np.uint32)], axis=-1)
+
+
+def lookup_jnp(hi, lo, valid, fused, *, n_shards: int = 1, shard_id=0):
     """Probe one (possibly sharded) 2-choice table (SEMANTICS.md §5 v3).
 
-    hi/lo/valid: uint32/bool [B, P] from extract_kmers_jnp.
-    key_hi/key_lo: uint32 [NB, W]; val: int32 [NB, W] — THIS shard's table.
-    Returns taxon int32 [B, P] (0 = miss, not owned, or invalid).
+    hi/lo/valid: uint32/bool [B, P] (or flat [N]) from extract_kmers_jnp.
+    fused: uint32 [NB, 3W] fused rows (fuse_table) — THIS shard's table.
+    Returns taxon int32 like hi (0 = miss, not owned, or invalid).
+
+    Flat row gathers of the fused table measured fastest on TPU v5e
+    (22 ms vs 30 ms per 1M k-mers for 2-D three-array gathers); the two
+    choices are independent so XLA can overlap their HBM traffic.
     """
-    nb = key_hi.shape[0]
+    nb = fused.shape[0]
+    W = fused.shape[1] // 3
     bmask = jnp.uint32(nb - 1)
+    shape = hi.shape
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
     h = hash32_jnp(hi, lo)
     if n_shards > 1:
         log2n = n_shards.bit_length() - 1
@@ -62,9 +81,11 @@ def lookup_jnp(hi, lo, valid, key_hi, key_lo, val, *,
     # twice), which the second round masks out.
     result = jnp.zeros(hi.shape, dtype=jnp.int32)
     for bkt, mask in ((b1, mine), (b2, mine & (b2 != b1))):
-        khi = key_hi[bkt]                      # [B, P, W] row gather
-        klo = key_lo[bkt]
-        hitlane = (mask[..., None] & (khi == hi[..., None])
-                   & (klo == lo[..., None]))
-        result = result + jnp.sum(jnp.where(hitlane, val[bkt], 0), axis=-1)
-    return result
+        rows = fused[bkt]                      # [N, 3W] row gather
+        khi = rows[:, 0:W]
+        klo = rows[:, W:2 * W]
+        v = jax.lax.bitcast_convert_type(rows[:, 2 * W:3 * W], jnp.int32)
+        hitlane = (mask[:, None] & (khi == hi[:, None])
+                   & (klo == lo[:, None]))
+        result = result + jnp.sum(jnp.where(hitlane, v, 0), axis=-1)
+    return result.reshape(shape)

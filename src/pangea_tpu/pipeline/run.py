@@ -194,17 +194,23 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     samples = list(cfg.input.samples) if cfg.input.samples else \
         [os.path.basename(f).split(".")[0] for f in files]
 
+    from ..io.native import native_available, read_batches_native
+    use_native = native_available() and not os.environ.get("PANGEA_NO_NATIVE")
+
     for fpath, mpath, fsample in zip(files, mates, samples):
         done = manifest.reads_done(fpath)
         skipped = 0
-        for batch in read_batches(fpath, B, mate_path=mpath,
-                                  sample=fsample):
+        batches = (read_batches_native(fpath, B, L, mate_path=mpath,
+                                       sample=fsample) if use_native else
+                   read_batches(fpath, B, mate_path=mpath, sample=fsample))
+        for batch in batches:
             n_in = len(batch)
             if skipped + n_in <= done:
                 skipped += n_in
                 continue
             if skipped < done:  # partial skip within this batch
                 cut = done - skipped
+                batch.padded = batch.mate_padded = None
                 batch.ids = batch.ids[cut:]
                 batch.seqs = batch.seqs[cut:]
                 if batch.quals is not None:
@@ -223,8 +229,12 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             for sample, part in sorted(parts.items()):
                 if not len(part):
                     continue
-                bases = pad_batch(part.seqs, B, L)
-                mb = pad_batch(part.mate_seqs, B, L) if paired else None
+                if part.padded is not None and part.padded.shape == (B, L):
+                    bases = part.padded        # native ingest fast path
+                    mb = part.mate_padded if paired else None
+                else:
+                    bases = pad_batch(part.seqs, B, L)
+                    mb = pad_batch(part.mate_seqs, B, L) if paired else None
                 res = classify_padded(bases, mb)
                 recs = [AssignmentRecord(part.ids[i], int(res["taxon"][i]),
                                          int(res["best"][i]),
