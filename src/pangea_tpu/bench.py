@@ -65,13 +65,34 @@ def make_bench_world(n_reads=100_000, read_len=150, paired=True,
     return world
 
 
+def _measure(fn, tables, d1, d2, warmup, iters):
+    import jax
+    import time as _t
+    t0 = _t.time()
+    out = fn(tables, d1, d2)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    compile_sec = _t.time() - t0
+    for _ in range(warmup):
+        out = fn(tables, d1, d2)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    t0 = _t.time()
+    for _ in range(iters):
+        out = fn(tables, d1, d2)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    return (_t.time() - t0) / iters, compile_sec, out
+
+
 def run_bench(config_path=None, overrides=(), n_reads=100_000,
-              batch=8192, read_len=150, warmup=2, iters=8) -> dict:
+              batch=8192, read_len=150, warmup=2, iters=8,
+              minimizer_w=8) -> dict:
     """Steady-state device throughput benchmark. Returns the driver's
-    one-line JSON dict."""
+    one-line JSON dict. Measures the dense (w=1, parity config) path as
+    the headline and the minimizer (w>1, production config) path as a
+    secondary number."""
     import jax
 
     from .classify.engine import DeviceIndex, make_classify_fn, pad_batch
+    from .index import build_index
 
     tax, genomes, idx, rs = make_bench_world(n_reads=n_reads,
                                              read_len=read_len)
@@ -83,20 +104,28 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     d1 = jax.device_put(b1)
     d2 = jax.device_put(b2)
 
-    t0 = time.time()
-    out = fn(di.tables, d1, d2)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    compile_sec = time.time() - t0
-
-    for _ in range(warmup):
-        out = fn(di.tables, d1, d2)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(di.tables, d1, d2)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    step = (time.time() - t0) / iters
+    step, compile_sec, out = _measure(fn, di.tables, d1, d2, warmup, iters)
     reads_per_sec = batch / step
+
+    # Minimizer production config (SEMANTICS.md §3): same genomes/reads.
+    min_detail = {}
+    if minimizer_w and minimizer_w > 1:
+        idx_m = build_index(genomes, tax, k=idx.meta.k, w=minimizer_w)
+        di_m = DeviceIndex.from_index(idx_m, confidence_threshold=0.0)
+        fn_m = make_classify_fn(di_m.cfg, paired=True)
+        step_m, _, out_m = _measure(fn_m, di_m.tables, d1, d2,
+                                    warmup, iters)
+        taxa_m = np.asarray(out_m["taxon"])
+        truth = rs.truth[:batch]
+        ok_m = ((taxa_m == truth)
+                | tax.is_ancestor_or_self(np.abs(taxa_m), truth)).mean()
+        min_detail = {
+            "minimizer_w": minimizer_w,
+            "minimizer_reads_per_sec": round(batch / step_m, 1),
+            "minimizer_step_ms": round(step_m * 1e3, 3),
+            "minimizer_ancestor_consistency": round(float(ok_m), 4),
+            "minimizer_index": repr(idx_m),
+        }
 
     # Sanity: classification quality on this batch (not part of the metric).
     taxa = np.asarray(out["taxon"])
@@ -123,5 +152,6 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
             "ancestor_consistency": round(float(ok), 4),
             "index": repr(idx),
             "device": str(jax.devices()[0]),
+            **min_detail,
         },
     }

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..index import Index
 from ..index.shard import shard_tables
-from ..kernels import extract_kmers_jnp, lookup_jnp, score_reads_jnp
+from ..kernels import (extract_kmers_jnp, lookup_jnp, score_reads_jnp,
+                       select_minimizers_jnp)
 
 
 @dataclass(frozen=True)
@@ -30,6 +31,7 @@ class ClassifyConfig:
     k: int
     n_shards: int = 1
     confidence_threshold: float = 0.0
+    w: int = 1                      # minimizer window (SEMANTICS.md §3)
 
 
 @dataclass
@@ -56,6 +58,7 @@ class DeviceIndex:
         cfg = ClassifyConfig(
             k=index.meta.k, n_shards=n_shards,
             confidence_threshold=confidence_threshold,
+            w=index.meta.w,
         )
         return cls(fused=fused, tax=tax, cfg=cfg)
 
@@ -70,6 +73,10 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     shard's table (tables["fused"] already sliced to this shard:
     [NB, 3W])."""
     hi, lo, valid = extract_kmers_jnp(bases, cfg.k)
+    if cfg.w > 1:
+        # SEMANTICS.md §3 v4: probe one k-mer per valid disjoint window —
+        # shrinks the gather tensor [B, P] → [B, ceil(P/w)].
+        hi, lo, valid = select_minimizers_jnp(hi, lo, valid, cfg.w)
     taxon = lookup_jnp(hi, lo, valid, tables["fused"],
                        n_shards=cfg.n_shards, shard_id=shard_id)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)

@@ -4,11 +4,12 @@ from .semantics_np import (
     encode_bases,
     hash32_np,
     mix32_np,
+    disjoint_query_minimizers,
     minimizer_mask,
     revcomp_codes,
 )
 
 __all__ = [
     "AMBIG", "canonical_kmers", "encode_bases", "hash32_np", "mix32_np",
-    "minimizer_mask", "revcomp_codes",
+    "disjoint_query_minimizers", "minimizer_mask", "revcomp_codes",
 ]

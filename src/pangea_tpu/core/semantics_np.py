@@ -91,6 +91,28 @@ def hash32_np(canon: np.ndarray) -> np.ndarray:
     return h
 
 
+def disjoint_query_minimizers(canon: np.ndarray, valid: np.ndarray, w: int):
+    """Classify-side minimizer selection for w > 1 (SEMANTICS.md §3 v4).
+
+    The read's P k-mer positions are cut into NW = floor(P/w) consecutive
+    disjoint FULL windows (tail < w ignored — padding-invariant); a window
+    is valid iff all its w positions are valid; each valid window probes
+    its hash32-argmin position (ties → leftmost). Returns
+    (pos: int64[NW] selected position per window, wvalid: bool[NW]).
+    """
+    P = canon.shape[0]
+    if w <= 1:
+        raise ValueError("disjoint_query_minimizers requires w>1")
+    NW = P // w
+    h = hash32_np(canon)[:NW * w]
+    hw = h.reshape(NW, w)
+    vw = np.asarray(valid[:NW * w], dtype=bool).reshape(NW, w)
+    wvalid = vw.all(axis=1)
+    sel = np.argmin(hw, axis=1)  # first occurrence = leftmost tie
+    pos = np.arange(NW, dtype=np.int64) * w + sel
+    return pos, wvalid
+
+
 def minimizer_mask(canon: np.ndarray, valid: np.ndarray, w: int) -> np.ndarray:
     """SEMANTICS.md §3: boolean mask of k-mer positions selected as window
     minimizers (w consecutive *valid* positions; ties → leftmost). w == 1
@@ -100,23 +122,17 @@ def minimizer_mask(canon: np.ndarray, valid: np.ndarray, w: int) -> np.ndarray:
     sel = np.zeros(P, dtype=bool)
     if w <= 1:
         return valid.copy()
+    if P < w:
+        return sel
     h = hash32_np(canon)
-    # Enumerate runs of consecutive valid positions; slide w-windows in each.
-    i = 0
-    while i < P:
-        if not valid[i]:
-            i += 1
-            continue
-        j = i
-        while j < P and valid[j]:
-            j += 1
-        run_h = h[i:j]
-        n = j - i
-        if n < w:
-            i = j
-            continue
-        for s in range(n - w + 1):
-            win = run_h[s:s + w]
-            sel[i + s + int(np.argmin(win))] = True
-        i = j
+    # A window starts at s iff positions s..s+w-1 are all valid; its
+    # selection = s + argmin(h[s:s+w]) (first occurrence = leftmost tie).
+    # Vectorized over all windows via a sliding view.
+    bad = (~np.asarray(valid, dtype=bool)).astype(np.int32)
+    cs = np.concatenate([[0], np.cumsum(bad)])
+    win_ok = (cs[w:] - cs[:P - w + 1]) == 0          # [P-w+1]
+    hv = np.lib.stride_tricks.sliding_window_view(h, w)  # [P-w+1, w]
+    arg = np.argmin(hv, axis=1)                      # leftmost min per window
+    pos = np.arange(P - w + 1) + arg
+    sel[pos[win_ok]] = True
     return sel

@@ -14,7 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..core import canonical_kmers, minimizer_mask
+from ..core import (canonical_kmers, disjoint_query_minimizers,
+                    minimizer_mask)
 from ..index import Index
 from ..taxonomy import Taxonomy
 
@@ -56,15 +57,21 @@ def _score_hits(taxa_hits: np.ndarray, nvalid: int, taxonomy: Taxonomy,
 
 
 def _read_hits(codes: np.ndarray, index: Index):
-    """One sequence → (per-position hit taxa int32[P], nvalid)."""
+    """One sequence → (per-probe hit taxa int32, nvalid).
+
+    w = 1: one probe per valid k-mer position; nvalid = valid positions.
+    w > 1: one probe per valid disjoint window (SEMANTICS.md §3 v4);
+    nvalid = valid windows.
+    """
     k, w = index.meta.k, index.meta.w
     canon, valid = canonical_kmers(np.asarray(codes, dtype=np.uint8), k)
-    nvalid = int(valid.sum())
-    if w > 1:
-        sel = minimizer_mask(canon, valid, w)
-    else:
-        sel = valid
-    taxa = index.lookup_np(canon, sel)
+    if w <= 1 or canon.shape[0] == 0:
+        nvalid = int(valid.sum())
+        taxa = index.lookup_np(canon, valid)
+        return taxa, nvalid
+    pos, wvalid = disjoint_query_minimizers(canon, valid, w)
+    nvalid = int(wvalid.sum())
+    taxa = index.lookup_np(canon[pos], wvalid)
     return taxa, nvalid
 
 

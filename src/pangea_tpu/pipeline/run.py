@@ -15,8 +15,11 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import sys
+import threading
 import time
+from collections import deque
 
 import numpy as np
 
@@ -86,6 +89,30 @@ def run_build(refs: list[str], taxonomy_path: str, k: int, out: str,
 
 
 # ------------------------------------------------------------------ classify
+def _prefetch(gen, maxsize: int = 2):
+    """Run `gen` on a background thread, buffering up to `maxsize` items —
+    overlaps host-side parse/encode with device compute (SURVEY.md C17)."""
+    q: queue.Queue = queue.Queue(maxsize=maxsize)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class _SampleSink:
     """Per-sample assignment writer with durable-offset tracking."""
 
@@ -176,16 +203,22 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     totals = {"reads": 0, "classified": 0, "batches": 0}
     t_start = time.time()
 
-    def classify_padded(bases, mates):
+    def classify_launch(bases, mates):
+        """Dispatch the device step(s); returns LAZY device outputs so the
+        host can overlap parse/drain with compute (one-deep pipeline)."""
         dev_b = jax.device_put(bases, bsh)
         dev_m = jax.device_put(mates, bsh) if paired else None
         outs = []
         for fn in fns:
             o = fn(dis[len(outs)].tables, dev_b, dev_m) if paired else \
                 fn(dis[len(outs)].tables, dev_b)
-            outs.append({k: np.asarray(v) for k, v in o.items()})
-        res = outs[0]
-        for o2 in outs[1:]:
+            outs.append(o)
+        return outs
+
+    def classify_resolve(outs):
+        outs_np = [{k: np.asarray(v) for k, v in o.items()} for o in outs]
+        res = outs_np[0]
+        for o2 in outs_np[1:]:
             res = merge_multik_np(res, o2, tax)
         return res
 
@@ -197,13 +230,49 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     from ..io.native import native_available, read_batches_native
     use_native = native_available() and not os.environ.get("PANGEA_NO_NATIVE")
 
+    # One-deep launch/drain pipeline: while batch i computes on device, the
+    # host drains batch i-1 (TSV writes) and the prefetch thread parses
+    # batch i+1 (SURVEY.md C17 streaming double-buffer).
+    inflight: deque = deque()
+
+    def drain_one():
+        item = inflight.popleft()
+        offsets = {}
+        n_classified = 0
+        for sample, ids_part, outs in item["parts"]:
+            res = classify_resolve(outs)
+            recs = [AssignmentRecord(ids_part[i], int(res["taxon"][i]),
+                                     int(res["best"][i]),
+                                     int(res["nvalid"][i]))
+                    for i in range(len(ids_part))]
+            n_classified += sum(1 for r in recs if r.taxon != 0)
+            sk = sink_for(sample)
+            sk.write(recs)
+            offsets[sk.path] = sk.offset()
+        manifest.record_batch(item["fpath"], item["n_in"], offsets)
+        dt = time.time() - item["t0"]
+        totals["reads"] += item["n_in"]
+        totals["classified"] += n_classified
+        totals["batches"] += 1
+        line = {"file": item["fpath"], "batch": totals["batches"],
+                "reads": item["n_in"], "sec": round(dt, 4),
+                "reads_per_sec": round(item["n_in"] / dt, 1),
+                "cum_reads": totals["reads"],
+                "pct_classified": round(
+                    100.0 * totals["classified"]
+                    / max(totals["reads"], 1), 2)}
+        metrics_fh.write(json.dumps(line) + "\n")
+        metrics_fh.flush()
+        if progress:
+            print(f"[classify] {line}", file=sys.stderr)
+
     for fpath, mpath, fsample in zip(files, mates, samples):
         done = manifest.reads_done(fpath)
         skipped = 0
         batches = (read_batches_native(fpath, B, L, mate_path=mpath,
                                        sample=fsample) if use_native else
                    read_batches(fpath, B, mate_path=mpath, sample=fsample))
-        for batch in batches:
+        for batch in _prefetch(batches):
             n_in = len(batch)
             if skipped + n_in <= done:
                 skipped += n_in
@@ -224,8 +293,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             batch = trim_batch(batch, trim_cfg)
             parts = (demux_batch(batch, demux_cfg) if demux_cfg
                      else {fsample: batch})
-            offsets = {}
-            n_classified = 0
+            launched = []
             for sample, part in sorted(parts.items()):
                 if not len(part):
                     continue
@@ -235,31 +303,16 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 else:
                     bases = pad_batch(part.seqs, B, L)
                     mb = pad_batch(part.mate_seqs, B, L) if paired else None
-                res = classify_padded(bases, mb)
-                recs = [AssignmentRecord(part.ids[i], int(res["taxon"][i]),
-                                         int(res["best"][i]),
-                                         int(res["nvalid"][i]))
-                        for i in range(len(part))]
-                n_classified += sum(1 for r in recs if r.taxon != 0)
-                sk = sink_for(sample)
-                sk.write(recs)
-                offsets[sk.path] = sk.offset()
-            manifest.record_batch(fpath, n_in, offsets)
-            dt = time.time() - t0
-            totals["reads"] += n_in
-            totals["classified"] += n_classified
-            totals["batches"] += 1
-            line = {"file": fpath, "batch": totals["batches"],
-                    "reads": n_in, "sec": round(dt, 4),
-                    "reads_per_sec": round(n_in / dt, 1),
-                    "cum_reads": totals["reads"],
-                    "pct_classified": round(
-                        100.0 * totals["classified"]
-                        / max(totals["reads"], 1), 2)}
-            metrics_fh.write(json.dumps(line) + "\n")
-            metrics_fh.flush()
-            if progress:
-                print(f"[classify] {line}", file=sys.stderr)
+                launched.append((sample, part.ids,
+                                 classify_launch(bases, mb)))
+            inflight.append({"fpath": fpath, "n_in": n_in, "t0": t0,
+                             "parts": launched})
+            # Drain-after-launch keeps exactly one batch in flight; the
+            # manifest still records batches in order (FIFO).
+            if len(inflight) > 1:
+                drain_one()
+    while inflight:
+        drain_one()
 
     for sk in sinks.values():
         sk.close()

@@ -158,3 +158,54 @@ def test_chunked_long_read_equivalence(world):
     merged = _score_hits(np.concatenate(taxa), nvalid, tax, 0.0)
     assert merged.taxon == whole.taxon
     assert merged.best == whole.best and merged.nvalid == whole.nvalid
+
+
+@pytest.mark.parametrize("w", [4, 8])
+def test_classify_minimizer_bit_exact(w):
+    # w>1 path: disjoint-window query minimizers (SEMANTICS.md §3 v4) must
+    # be bit-exact vs golden, including short/padded reads and N runs.
+    tax, genomes, idx, rs = small_world(n_reads=120, w=w, n_prob=0.03,
+                                        read_len=97)
+    assert idx.meta.w == w
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.05)
+    assert di.cfg.w == w
+    fn = make_classify_fn(di.cfg)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)  # pad past read length
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs, idx, 0.05)
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+
+
+def test_minimizer_select_matches_numpy():
+    from pangea_tpu.core import disjoint_query_minimizers
+    from pangea_tpu.kernels import select_minimizers_jnp
+    rng = np.random.default_rng(11)
+    B, P, w = 16, 101, 8
+    hi = rng.integers(0, 4, size=(B, P)).astype(np.uint32)
+    lo = rng.integers(0, 2**31, size=(B, P)).astype(np.uint32)
+    valid = rng.random((B, P)) < 0.9
+    hi_m, lo_m, wv = jax.jit(select_minimizers_jnp, static_argnums=3)(
+        hi, lo, valid, w)
+    hi_m, lo_m, wv = map(np.asarray, (hi_m, lo_m, wv))
+    for b in range(B):
+        canon = (hi[b].astype(np.uint64) << np.uint64(32)) | lo[b]
+        pos, wvalid = disjoint_query_minimizers(canon, valid[b], w)
+        np.testing.assert_array_equal(wv[b], wvalid)
+        np.testing.assert_array_equal(hi_m[b][wvalid], hi[b][pos][wvalid])
+        np.testing.assert_array_equal(lo_m[b][wvalid], lo[b][pos][wvalid])
+
+
+def test_query_minimizers_subset_of_build(w=8):
+    # Every disjoint query window's selection must be stored by the
+    # overlapping-window build pass (SEMANTICS.md §3 guarantee).
+    from pangea_tpu.core import (canonical_kmers, disjoint_query_minimizers,
+                                 minimizer_mask)
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=2000).astype(np.uint8)
+    canon, valid = canonical_kmers(codes, 21)
+    build_sel = set(canon[minimizer_mask(canon, valid, w)].tolist())
+    pos, wvalid = disjoint_query_minimizers(canon, valid, w)
+    query_sel = set(canon[pos[wvalid]].tolist())
+    assert query_sel <= build_sel
