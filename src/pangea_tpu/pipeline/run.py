@@ -203,6 +203,13 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     totals = {"reads": 0, "classified": 0, "batches": 0}
     t_start = time.time()
 
+    # Tracing/profiling (SURVEY.md §6): PANGEA_PROFILE=<dir> wraps the
+    # steady-state loop in a jax.profiler trace (xprof/perfetto — shows the
+    # lookup gathers, collectives, and H2D overlap).
+    profile_dir = os.environ.get("PANGEA_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     def classify_launch(bases, mates):
         """Dispatch the device step(s); returns LAZY device outputs so the
         host can overlap parse/drain with compute (one-deep pipeline)."""
@@ -239,6 +246,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         item = inflight.popleft()
         offsets = {}
         n_classified = 0
+        t_drain0 = time.time()
         for sample, ids_part, outs in item["parts"]:
             res = classify_resolve(outs)
             recs = [AssignmentRecord(ids_part[i], int(res["taxon"][i]),
@@ -256,6 +264,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         totals["batches"] += 1
         line = {"file": item["fpath"], "batch": totals["batches"],
                 "reads": item["n_in"], "sec": round(dt, 4),
+                "launch_sec": round(item["t_launch"], 4),
+                "drain_sec": round(time.time() - t_drain0, 4),
                 "reads_per_sec": round(item["n_in"] / dt, 1),
                 "cum_reads": totals["reads"],
                 "pct_classified": round(
@@ -306,6 +316,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 launched.append((sample, part.ids,
                                  classify_launch(bases, mb)))
             inflight.append({"fpath": fpath, "n_in": n_in, "t0": t0,
+                             "t_launch": time.time() - t0,
                              "parts": launched})
             # Drain-after-launch keeps exactly one batch in flight; the
             # manifest still records batches in order (FIFO).
@@ -313,6 +324,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 drain_one()
     while inflight:
         drain_one()
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     for sk in sinks.values():
         sk.close()

@@ -1,0 +1,118 @@
+"""Failure detection / recovery (SURVEY.md §6): real fault injection — a
+classify subprocess is SIGKILLed mid-run, then resumed; outputs must be
+byte-identical to an uninterrupted run. Complements test_pipeline.py's
+torn-file simulation with an actual process death.
+
+Also: opt-in 2-process DCN smoke test (jax.distributed over localhost TCP
+on the CPU backend) — set PANGEA_TEST_DCN=1 to run.
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def testdata(tmp_path_factory):
+    from pangea_tpu import cli
+    d = str(tmp_path_factory.mktemp("fault_td"))
+    assert cli.main(["gen-testdata", "--out", d, "--reads", "600"]) == 0
+    assert cli.main(["build", "--refs", f"{d}/refs.fasta",
+                     "--taxonomy", f"{d}/taxonomy.tsv", "--k", "21",
+                     "--out", f"{d}/idx21"]) == 0
+    return d
+
+
+def _classify_args(d, out):
+    return ["classify", "--index", f"{d}/idx21",
+            "--reads", f"{d}/reads_1.fastq", "--samples", "s",
+            "--out", out, "input.batch_size=64", "input.max_read_len=120"]
+
+
+def _spawn(d, out, resume=False):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.join(REPO, "src")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no axon registration via .pth
+    args = _classify_args(d, out) + (["--resume"] if resume else [])
+    return subprocess.Popen(
+        [sys.executable, "-m", "pangea_tpu.cli"] + args,
+        env=env, cwd=REPO,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+
+def test_sigkill_mid_run_resume_identical(testdata, tmp_path):
+    from pangea_tpu import cli
+    d = testdata
+    full = str(tmp_path / "full")
+    assert cli.main(_classify_args(d, full)) == 0
+
+    out = str(tmp_path / "killed")
+    p = _spawn(d, out)
+    # Wait until at least 2 batches are durably recorded, then SIGKILL.
+    metrics = os.path.join(out, "metrics.jsonl")
+    deadline = time.time() + 300
+    killed = False
+    while time.time() < deadline:
+        if p.poll() is not None:
+            break  # finished before we could kill — resume is then a no-op
+        try:
+            if sum(1 for _ in open(metrics)) >= 2:
+                os.kill(p.pid, signal.SIGKILL)
+                killed = True
+                break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.2)
+    p.wait(timeout=60)
+    if not killed and p.returncode != 0:
+        pytest.fail("subprocess died before producing batches")
+
+    # Resume in-process (fast: jit cache warm for this backend/world).
+    assert cli.main(_classify_args(d, out) + ["--resume"]) == 0
+    assert open(f"{out}/s.assign.tsv").read() == \
+        open(f"{full}/s.assign.tsv").read()
+    assert open(f"{out}/s.summary.tsv").read() == \
+        open(f"{full}/s.summary.tsv").read()
+
+
+@pytest.mark.skipif(not os.environ.get("PANGEA_TEST_DCN"),
+                    reason="set PANGEA_TEST_DCN=1 to run the 2-process "
+                           "jax.distributed smoke test")
+def test_two_process_dcn_smoke(tmp_path):
+    """Bring up jax.distributed across 2 local processes (CPU backend,
+    localhost TCP = the DCN stand-in) and psum across them."""
+    script = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:17811",
+                           num_processes=2,
+                           process_id=int(sys.argv[1]))
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+devs = jax.devices()
+mesh = Mesh(__import__("numpy").array(devs), ("d",))
+f = jax.jit(shard_map(lambda x: jax.lax.psum(x, "d"), mesh=mesh,
+                      in_specs=P("d"), out_specs=P()))
+import numpy as np
+x = np.arange(len(devs) * 4, dtype=np.int32).reshape(len(devs), 4)
+got = np.asarray(f(x))
+want = x.sum(axis=0)
+assert (got == want).all(), (got, want)
+print("proc", sys.argv[1], "psum ok")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.join(REPO, "src")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              env=env) for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
