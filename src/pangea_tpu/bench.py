@@ -26,9 +26,8 @@ import numpy as np
 
 # TPU v5e (v5 lite): ~819 GB/s HBM bandwidth per chip.
 HBM_BYTES_PER_SEC = {"v5e": 819e9}
-# A probe round gathers one 8-way bucket row per array: 8×4 B from each of
-# key_hi/key_lo/val = 96 B (SEMANTICS.md §5 v2); nearly all lookups take one
-# round, so 96 B/lookup is the honest HBM traffic floor.
+# A probe gathers one fused bucket row: 8 slots × (key_hi + key_lo + val)
+# = 96 B (SEMANTICS.md §5).
 BYTES_PER_PROBE = 3 * 4 * 8
 
 
@@ -65,37 +64,58 @@ def make_bench_world(n_reads=100_000, read_len=150, paired=True,
     return world
 
 
-def _measure(fn, tables, d1, d2, warmup, iters):
-    import jax
+def _measure(fn, tables, d1, d2, rounds=4, reps=3):
+    """Honest steady-state per-batch time via marginal in-executable
+    timing (see utils.timing: block_until_ready does NOT sync under the
+    axon tunnel, and every fetch pays ~30 ms RTT — naive timing lies).
+
+    Chains rounds by rolling the batch rows by a value computed from the
+    previous round's output, so rounds serialize and nothing can be elided;
+    the per-read work is round-invariant (same multiset of reads)."""
     import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.timing import fetch_sync, marginal_time
+
+    def make_loop(n):
+        def run(state):
+            b1, b2 = state
+
+            def body(_, st):
+                b1, b2 = st
+                out = fn(tables, b1, b2)
+                shift = out["best"][0] % jnp.int32(7) + jnp.int32(1)
+                return (jnp.roll(b1, shift, axis=0),
+                        jnp.roll(b2, shift, axis=0))
+
+            return jax.lax.fori_loop(0, n, body, (b1, b2))
+        return run
+
     t0 = _t.time()
     out = fn(tables, d1, d2)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    fetch_sync(out)
     compile_sec = _t.time() - t0
-    for _ in range(warmup):
-        out = fn(tables, d1, d2)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    t0 = _t.time()
-    for _ in range(iters):
-        out = fn(tables, d1, d2)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    return (_t.time() - t0) / iters, compile_sec, out
+    step, overhead = marginal_time(make_loop, (d1, d2), r=rounds, reps=reps)
+    return step, compile_sec, out, overhead
 
 
 def run_bench(config_path=None, overrides=(), n_reads=100_000,
-              batch=8192, read_len=150, warmup=2, iters=8,
-              minimizer_w=8) -> dict:
+              batch=32_768, read_len=150, rounds=4,
+              minimizer_w=8, with_dense=True) -> dict:
     """Steady-state device throughput benchmark. Returns the driver's
-    one-line JSON dict. Measures the dense (w=1, parity config) path as
-    the headline and the minimizer (w>1, production config) path as a
+    one-line JSON dict. Headline = the minimizer production config
+    (SEMANTICS.md §3, w=8); the dense (w=1) parity config is reported as a
     secondary number."""
     import jax
 
     from .classify.engine import DeviceIndex, make_classify_fn, pad_batch
     from .index import build_index
 
-    tax, genomes, idx, rs = make_bench_world(n_reads=n_reads,
-                                             read_len=read_len)
+    tax, genomes, idx_dense, rs = make_bench_world(n_reads=n_reads,
+                                                   read_len=read_len)
+    idx = build_index(genomes, tax, k=idx_dense.meta.k, w=minimizer_w)
     di = DeviceIndex.from_index(idx, confidence_threshold=0.0)
     fn = make_classify_fn(di.cfg, paired=True)
 
@@ -104,27 +124,26 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     d1 = jax.device_put(b1)
     d2 = jax.device_put(b2)
 
-    step, compile_sec, out = _measure(fn, di.tables, d1, d2, warmup, iters)
+    step, compile_sec, out, overhead = _measure(fn, di.tables, d1, d2,
+                                                rounds=rounds)
     reads_per_sec = batch / step
 
-    # Minimizer production config (SEMANTICS.md §3): same genomes/reads.
-    min_detail = {}
-    if minimizer_w and minimizer_w > 1:
-        idx_m = build_index(genomes, tax, k=idx.meta.k, w=minimizer_w)
-        di_m = DeviceIndex.from_index(idx_m, confidence_threshold=0.0)
-        fn_m = make_classify_fn(di_m.cfg, paired=True)
-        step_m, _, out_m = _measure(fn_m, di_m.tables, d1, d2,
-                                    warmup, iters)
-        taxa_m = np.asarray(out_m["taxon"])
+    # Dense parity config (w=1): same genomes/reads.
+    dense_detail = {}
+    if with_dense:
+        di_d = DeviceIndex.from_index(idx_dense, confidence_threshold=0.0)
+        fn_d = make_classify_fn(di_d.cfg, paired=True)
+        step_d, _, out_d, _ = _measure(fn_d, di_d.tables, d1, d2,
+                                       rounds=rounds)
+        taxa_d = np.asarray(out_d["taxon"])
         truth = rs.truth[:batch]
-        ok_m = ((taxa_m == truth)
-                | tax.is_ancestor_or_self(np.abs(taxa_m), truth)).mean()
-        min_detail = {
-            "minimizer_w": minimizer_w,
-            "minimizer_reads_per_sec": round(batch / step_m, 1),
-            "minimizer_step_ms": round(step_m * 1e3, 3),
-            "minimizer_ancestor_consistency": round(float(ok_m), 4),
-            "minimizer_index": repr(idx_m),
+        ok_d = ((taxa_d == truth)
+                | tax.is_ancestor_or_self(np.abs(taxa_d), truth)).mean()
+        dense_detail = {
+            "dense_reads_per_sec": round(batch / step_d, 1),
+            "dense_step_ms": round(step_d * 1e3, 3),
+            "dense_ancestor_consistency": round(float(ok_d), 4),
+            "dense_index": repr(idx_dense),
         }
 
     # Sanity: classification quality on this batch (not part of the metric).
@@ -134,24 +153,33 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
           | tax.is_ancestor_or_self(np.abs(taxa), truth)).mean()
 
     k = idx.meta.k
-    kmers_per_read = 2 * (read_len - k + 1)  # paired
+    # Speed-of-light model: one random row fetch per probed position; a
+    # random HBM access moves at least one 512 B transaction regardless of
+    # row payload, so roofline = HBM_BW / (rows_per_read × max(row, 512 B)).
+    w = max(minimizer_w, 1)
+    rows_per_read = 2 * ((read_len - k + 1) // w)  # paired
+    row_bytes = max(BYTES_PER_PROBE, 512)
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     bw = HBM_BYTES_PER_SEC.get(gen, 819e9)
-    roofline = bw / (kmers_per_read * BYTES_PER_PROBE)
+    roofline = bw / (rows_per_read * row_bytes)
 
     return {
-        "metric": "reads/sec/chip (paired-end 16S classify, config-2-like)",
+        "metric": ("reads/sec/chip (paired-end 16S classify, "
+                   "config-2-like, minimizer w=%d)" % minimizer_w),
         "value": round(reads_per_sec, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_sec / roofline, 4),
         "detail": {
             "batch": batch, "read_len": read_len, "k": k,
+            "minimizer_w": minimizer_w,
             "step_ms": round(step * 1e3, 3),
+            "dispatch_overhead_ms": round(overhead * 1e3, 1),
             "compile_sec": round(compile_sec, 1),
             "roofline_reads_per_sec": round(roofline, 1),
             "ancestor_consistency": round(float(ok), 4),
             "index": repr(idx),
             "device": str(jax.devices()[0]),
-            **min_detail,
+            "timing": "marginal in-executable (utils.timing)",
+            **dense_detail,
         },
     }
