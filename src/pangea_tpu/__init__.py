@@ -13,4 +13,4 @@ golden numpy model in :mod:`pangea_tpu.golden` is the parity oracle).
 """
 
 __version__ = "0.1.0"
-SEMANTICS_VERSION = 4
+SEMANTICS_VERSION = 5

@@ -26,9 +26,9 @@ import numpy as np
 
 # TPU v5e (v5 lite): ~819 GB/s HBM bandwidth per chip.
 HBM_BYTES_PER_SEC = {"v5e": 819e9}
-# A probe gathers one fused bucket row: 8 slots × (key_hi + key_lo + val)
-# = 96 B (SEMANTICS.md §5).
-BYTES_PER_PROBE = 3 * 4 * 8
+# A probe gathers one fused bucket row: 32 slots × (key_hi + key_lo + val)
+# = 384 B (SEMANTICS.md §5 v5).
+BYTES_PER_PROBE = 3 * 4 * 32
 
 
 def _cache_dir() -> str:
@@ -42,7 +42,7 @@ def make_bench_world(n_reads=100_000, read_len=150, paired=True,
     """Config-2-scale synthetic world: ~48-species 16S-style reference,
     100k paired reads. Cached by parameter hash."""
     key = hashlib.sha256(repr((n_reads, read_len, paired, n_species,
-                               genome_len, k, seed, 4)).encode()).hexdigest()[:16]
+                               genome_len, k, seed, 5)).encode()).hexdigest()[:16]
     path = os.path.join(_cache_dir(), f"world_{key}.pkl")
     if os.path.exists(path):
         with open(path, "rb") as fh:

@@ -38,9 +38,10 @@ class ClassifyConfig:
 class DeviceIndex:
     """Device-resident arrays for one index + taxonomy (a pytree of arrays)
     plus the static config. Taxonomy arrays are replicated; the fused table
-    is stacked [n_shards, NB, 3W] for placement along the mesh 'shard'
-    axis (fused row layout: see kernels.lookup.fuse_table)."""
+    and stash are stacked [n_shards, ...] for placement along the mesh
+    'shard' axis (fused row layout: see kernels.lookup.fuse_table)."""
     fused: jnp.ndarray    # uint32 [n_shards, NB, 3W]
+    stash: jnp.ndarray    # uint32 [n_shards, 3, S] overflow (S may be 0)
     tax: dict             # tin/tout/parent/depth [T+1], up [levels, T+1]
     cfg: ClassifyConfig
 
@@ -49,35 +50,36 @@ class DeviceIndex:
                    confidence_threshold: float = 0.0,
                    device_put: bool = True) -> "DeviceIndex":
         from ..kernels.lookup import fuse_table
-        key_hi, key_lo, val = shard_tables(index, n_shards)
+        key_hi, key_lo, val, stash = shard_tables(index, n_shards)
         fused = fuse_table(key_hi, key_lo, val)
         tax = index.taxonomy.device_arrays()
         if device_put:
             fused = jax.device_put(fused)
+            stash = jax.device_put(stash)
             tax = {k: jax.device_put(v) for k, v in tax.items()}
         cfg = ClassifyConfig(
             k=index.meta.k, n_shards=n_shards,
             confidence_threshold=confidence_threshold,
             w=index.meta.w,
         )
-        return cls(fused=fused, tax=tax, cfg=cfg)
+        return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
     @property
     def tables(self) -> dict:
-        return {"fused": self.fused, "tax": self.tax}
+        return {"fused": self.fused, "stash": self.stash, "tax": self.tax}
 
 
 def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
                       shard_id=0):
     """bases int8 [B, L] → (taxon int32 [B, P], nvalid int32 [B]) on ONE
-    shard's table (tables["fused"] already sliced to this shard:
-    [NB, 3W])."""
+    shard's table (tables["fused"]/["stash"] already sliced to this shard:
+    [NB, 3W] / [3, S])."""
     hi, lo, valid = extract_kmers_jnp(bases, cfg.k)
     if cfg.w > 1:
         # SEMANTICS.md §3 v4: probe one k-mer per valid disjoint window —
         # shrinks the gather tensor [B, P] → [B, ceil(P/w)].
         hi, lo, valid = select_minimizers_jnp(hi, lo, valid, cfg.w)
-    taxon = lookup_jnp(hi, lo, valid, tables["fused"],
+    taxon = lookup_jnp(hi, lo, valid, tables["fused"], tables["stash"],
                        n_shards=cfg.n_shards, shard_id=shard_id)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     return taxon, nvalid
@@ -93,7 +95,8 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False):
     """
 
     def fn(tables, bases, mate_bases=None):
-        t = {"fused": tables["fused"][0], "tax": tables["tax"]}
+        t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
+             "tax": tables["tax"]}
         taxon, nvalid = hits_single_shard(t, bases, cfg)
         if paired:
             taxon2, nvalid2 = hits_single_shard(t, mate_bases, cfg)

@@ -82,6 +82,7 @@ def place_index(index: Index, mesh: Mesh,
     rep_sharding = NamedSharding(mesh, P())
     return DeviceIndex(
         fused=jax.device_put(di.fused, tab_sharding),
+        stash=jax.device_put(di.stash, tab_sharding),
         tax={k: jax.device_put(v, rep_sharding) for k, v in di.tax.items()},
         cfg=di.cfg,
     )
@@ -102,7 +103,8 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
 
     def local_step(tables, bases, mate_bases):
         # Local views inside shard_map: fused [1, NB, 3W]; bases [b, L].
-        t = {"fused": tables["fused"][0], "tax": tables["tax"]}
+        t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
+             "tax": tables["tax"]}
         sid = jax.lax.axis_index(SHARD_AXIS)
         taxon, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid)
         if paired:
@@ -116,6 +118,7 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
                                cfg.confidence_threshold)
 
     tab_specs = {"fused": P(SHARD_AXIS, None, None),
+                 "stash": P(SHARD_AXIS, None, None),
                  "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
                                                      "parent": 0, "depth": 0,
                                                      "up": 0})}

@@ -2,9 +2,17 @@
 
 Scans reference genomes, extracts canonical k-mers (optionally minimizer-
 subsampled), LCA-merges duplicates across taxa, and lays the result out as
-the dense open-addressing table of SEMANTICS.md §5. Pure host-side numpy —
-no device involvement (SURVEY.md §4.2). Deterministic: insertion in ascending
-canonical-k-mer order.
+the single-probe bucketized table of SEMANTICS.md §5 (v5): NB buckets × 32
+ways + a tiny overflow stash. Pure host-side numpy — no device involvement
+(SURVEY.md §4.2). Deterministic: insertion in ascending canonical-k-mer
+order.
+
+Why single-probe (measured on TPU v5e, 2026-08-18): a classify lookup costs
+one table-row gather per PROBE, and independent gathers do not overlap —
+two-choice cuckoo (semantics v3/v4) paid 2x. One 384 B bucket row (32 ways)
+gathers at the same rate as a 96 B row, so widening the bucket is free and
+the rare overflow moves to a stash that the VPU scans in parallel for all
+queries at negligible cost.
 """
 from __future__ import annotations
 
@@ -61,50 +69,26 @@ def aggregate_kmers(genomes, k: int, w: int, taxonomy: Taxonomy,
     return uk, ut
 
 
-WAYS = 8  # bucket width (SEMANTICS.md §5): one 96 B row gather per choice
-
-_CUCKOO_SALT = np.uint32(0xB2D05E13)  # SEMANTICS.md §4: b2 derivation
-_BFS_DEPTH = 64
+WAYS = 32        # bucket width (SEMANTICS.md §5 v5): one 384 B row gather
+STASH_MAX = 128  # overflow cap; exceeding it doubles NB and restarts
 
 
-def bucket_pair_np(kmers: np.ndarray, nb: int):
-    """(b1, b2) candidate buckets per SEMANTICS.md §4."""
-    from ..core import mix32_np
-    h = hash32_np(kmers)
-    mask = np.uint32(nb - 1)
-    b1 = (h & mask).astype(np.int64)
-    b2 = (mix32_np(h ^ _CUCKOO_SALT) & mask).astype(np.int64)
-    return b1, b2
-
-
-def _greedy_pass(target, pending, fill, place_cb):
-    """One SEMANTICS.md §5 greedy pass: pending (ascending) target buckets
-    `target[pending]`; ascending contenders claim free lanes ascending.
-    Returns the still-unplaced subset of pending (ascending)."""
-    b = target[pending]
-    order = np.argsort(b, kind="stable")
-    bs, ps = b[order], pending[order]
-    newgrp = np.concatenate([[True], bs[1:] != bs[:-1]])
-    grp = np.cumsum(newgrp) - 1
-    first = np.flatnonzero(newgrp)
-    rank = np.arange(bs.size) - first[grp]
-    free = WAYS - fill[bs]
-    place = rank < free
-    lanes = fill[bs] + rank
-    place_cb(ps[place], bs[place], lanes[place])
-    np.add.at(fill, bs[place], 1)
-    return np.sort(ps[~place])
+def bucket_of_np(kmers: np.ndarray, nb: int) -> np.ndarray:
+    """The single candidate bucket per SEMANTICS.md §4: h & (NB-1)."""
+    return (hash32_np(kmers) & np.uint32(nb - 1)).astype(np.int64)
 
 
 def layout_table(kmers: np.ndarray, taxa: np.ndarray,
-                 load_factor: float = 0.7):
-    """Place (kmer → taxon) pairs into the 2-choice bucketized table
-    (SEMANTICS.md §5 v3): two greedy passes (b1 then b2) + deterministic BFS
-    cuckoo eviction for the rare leftovers; NB doubles and the layout
-    restarts if a chain cannot be found.
+                 load_factor: float = 0.5):
+    """Place (kmer → taxon) pairs into the single-probe bucketized table
+    (SEMANTICS.md §5 v5): ascending canonical k-mers claim free lanes of
+    their bucket in ascending lane order; bucket overflow (> 32 residents)
+    goes to the stash in ascending canonical order. If the stash would
+    exceed STASH_MAX, NB doubles and the layout restarts.
 
     Returns (key_hi [NB, WAYS], key_lo [NB, WAYS], val [NB, WAYS],
-    n_buckets)."""
+    stash [3, n_stash] uint32 rows (hi, lo, val-bits), n_buckets).
+    """
     kmers = np.asarray(kmers, dtype=np.uint64)
     taxa = np.asarray(taxa, dtype=np.int32)
     n = kmers.shape[0]
@@ -117,119 +101,57 @@ def layout_table(kmers: np.ndarray, taxa: np.ndarray,
     while nb * WAYS * load_factor < max(n, 1):
         nb *= 2
     while True:
-        out = _try_layout(kmers, hi, lo, taxa, nb)
+        out = _try_layout(hi, lo, taxa, kmers, nb)
         if out is not None:
-            key_hi, key_lo, val = out
-            return key_hi, key_lo, val, nb
-        nb *= 2  # SEMANTICS.md §5 step 4
+            key_hi, key_lo, val, stash = out
+            return key_hi, key_lo, val, stash, nb
+        nb *= 2  # SEMANTICS.md §5 step 3
+
+    raise AssertionError("unreachable")
 
 
-def _try_layout(kmers, hi, lo, taxa, nb):
+def _try_layout(hi, lo, taxa, kmers, nb):
     n = kmers.shape[0]
     key_hi = np.full((nb, WAYS), EMPTY_HI, dtype=np.uint32)
     key_lo = np.zeros((nb, WAYS), dtype=np.uint32)
     val = np.zeros((nb, WAYS), dtype=np.int32)
-    # which k-mer index occupies [bucket, lane] (-1 = empty), and its
-    # alternate bucket — host-only bookkeeping for eviction.
-    occ = np.full((nb, WAYS), -1, dtype=np.int64)
-    fill = np.zeros(nb, dtype=np.int64)
-    b1, b2 = bucket_pair_np(kmers, nb)
-
-    def place(ks, bs, lanes):
-        key_hi[bs, lanes] = hi[ks]
-        key_lo[bs, lanes] = lo[ks]
-        val[bs, lanes] = taxa[ks]
-        occ[bs, lanes] = ks
-
-    pending = np.arange(n)
-    pending = _greedy_pass(b1, pending, fill, place)      # pass 1
-    if pending.size:
-        pending = _greedy_pass(b2, pending, fill, place)  # pass 2
-    for x in pending:                                      # eviction (rare)
-        if not _evict_place(int(x), b1, b2, key_hi, key_lo, val, occ, fill,
-                            hi, lo, taxa, nb):
-            return None
-    return key_hi, key_lo, val
-
-
-def _evict_place(x, b1, b2, key_hi, key_lo, val, occ, fill, hi, lo, taxa,
-                 nb) -> bool:
-    """Deterministic BFS cuckoo relocation (SEMANTICS.md §5 step 3)."""
-    from collections import deque
-    start = [int(b1[x]), int(b2[x])]
-    # parent[b] = (prev_bucket, lane_in_prev) — resident prev[lane] moves
-    # INTO prev's chain successor b.
-    parent: dict[int, tuple[int, int]] = {}
-    seen = set(start)
-    q = deque((b, 0) for b in dict.fromkeys(start))
-    found = -1
-    while q:
-        b, d = q.popleft()
-        if fill[b] < WAYS:
-            found = b
-            break
-        if d >= _BFS_DEPTH:
-            continue
-        for lane in range(WAYS):
-            k = int(occ[b, lane])
-            a = int(b1[k]) if int(b2[k]) == b else int(b2[k])
-            if a not in seen:
-                seen.add(a)
-                parent[a] = (b, lane)
-                q.append((a, d + 1))
-    if found < 0:
-        return False
-    # Unwind: move residents along the chain, freeing a lane in start.
-    b = found
-    while b in parent:
-        pb, lane = parent[b]
-        k = int(occ[pb, lane])
-        dst_lane = int(fill[b])
-        key_hi[b, dst_lane] = hi[k]
-        key_lo[b, dst_lane] = lo[k]
-        val[b, dst_lane] = taxa[k]
-        occ[b, dst_lane] = k
-        fill[b] += 1
-        # pb[lane] now free; the next (earlier) move fills it, or x does.
-        fill[pb] -= 1
-        occ[pb, lane] = -1
-        key_hi[pb, lane] = EMPTY_HI
-        key_lo[pb, lane] = 0
-        val[pb, lane] = 0
-        # Compact: keep occupied lanes contiguous left-to-right by moving
-        # the last occupied lane into the hole (lookup is lane-agnostic).
-        last = int(fill[pb])
-        if last != lane and occ[pb, last] >= 0:
-            key_hi[pb, lane] = key_hi[pb, last]
-            key_lo[pb, lane] = key_lo[pb, last]
-            val[pb, lane] = val[pb, last]
-            occ[pb, lane] = occ[pb, last]
-            key_hi[pb, last] = EMPTY_HI
-            key_lo[pb, last] = 0
-            val[pb, last] = 0
-            occ[pb, last] = -1
-        b = pb
-    dst_lane = int(fill[b])
-    key_hi[b, dst_lane] = hi[x]
-    key_lo[b, dst_lane] = lo[x]
-    val[b, dst_lane] = taxa[x]
-    occ[b, dst_lane] = x
-    fill[b] += 1
-    return True
+    b = bucket_of_np(kmers, nb)
+    # kmers ascending ⇒ within a bucket, contenders appear in ascending
+    # canonical order; rank = position within its bucket group.
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    newgrp = np.concatenate([[True], bs[1:] != bs[:-1]]) if n else \
+        np.zeros(0, bool)
+    grp = np.cumsum(newgrp) - 1 if n else np.zeros(0, np.int64)
+    first = np.flatnonzero(newgrp)
+    rank = np.arange(n) - first[grp] if n else np.zeros(0, np.int64)
+    place = rank < WAYS
+    ks = order[place]
+    key_hi[bs[place], rank[place]] = hi[ks]
+    key_lo[bs[place], rank[place]] = lo[ks]
+    val[bs[place], rank[place]] = taxa[ks]
+    over = np.sort(order[~place])  # ascending canonical order
+    if over.size > STASH_MAX:
+        return None
+    stash = np.stack([hi[over], lo[over],
+                      taxa[over].view(np.uint32)]) if over.size else \
+        np.zeros((3, 0), dtype=np.uint32)
+    return key_hi, key_lo, val, stash.astype(np.uint32)
 
 
 def build_index(genomes, taxonomy: Taxonomy, k: int, w: int = 1,
-                load_factor: float = 0.7, progress=None) -> Index:
+                load_factor: float = 0.5, progress=None) -> Index:
     """Build an :class:`Index` from (codes, taxon) genome pairs."""
     if k % 2 == 0 or not (1 <= k <= 31):
         raise ValueError("k must be odd and 1..31 (SEMANTICS.md §2)")
     uk, ut = aggregate_kmers(genomes, k, w, taxonomy, progress=progress)
-    key_hi, key_lo, val, nb = layout_table(uk, ut, load_factor)
+    key_hi, key_lo, val, stash, nb = layout_table(uk, ut, load_factor)
     from .. import SEMANTICS_VERSION
     meta = IndexMeta(
         k=k, w=w, n_buckets=nb, ways=WAYS,
         n_kmers=int(uk.shape[0]),
+        n_stash=int(stash.shape[1]),
         taxonomy_hash=taxonomy.content_hash(),
         semantics_version=SEMANTICS_VERSION,
     )
-    return Index(meta, key_hi, key_lo, val, taxonomy)
+    return Index(meta, key_hi, key_lo, val, taxonomy, stash=stash)

@@ -63,7 +63,7 @@ def test_lookup_matches_numpy(world):
     lo = (probes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     valid = np.ones(probes.shape, bool)
     got = lookup_jnp(jnp.array(hi), jnp.array(lo), jnp.array(valid),
-                     jnp.array(di.fused[0]))
+                     jnp.array(di.fused[0]), jnp.array(di.stash[0]))
     want = idx.lookup_np(probes.ravel(), valid.ravel()).reshape(4, 250)
     np.testing.assert_array_equal(np.asarray(got), want)
 

@@ -52,47 +52,56 @@ def test_layout_determinism(world):
     canon, taxa = extract_pairs(idx)
     a = layout_table(canon, taxa)
     b = layout_table(canon, taxa)
-    for x, y in zip(a[:3], b[:3]):
+    for x, y in zip(a[:4], b[:4]):
         np.testing.assert_array_equal(x, y)
 
 
-def test_two_choice_invariant(world):
-    # Every stored k-mer lives in bucket b1 or b2 (SEMANTICS.md §5 v3) and
-    # is stored exactly once.
+def test_single_probe_invariant(world):
+    # Every stored k-mer lives in its ONE bucket `h & (NB-1)` or the stash
+    # (SEMANTICS.md §5 v5), and is stored exactly once overall.
     _, _, idx, _ = world
-    from pangea_tpu.index.build import bucket_pair_np
+    from pangea_tpu.index.build import bucket_of_np
     canon, _ = extract_pairs(idx)
     hi = (canon >> np.uint64(32)).astype(np.uint32)
     lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    b1, b2 = bucket_pair_np(canon, idx.meta.n_buckets)
-    in1 = ((idx.key_hi[b1] == hi[:, None])
-           & (idx.key_lo[b1] == lo[:, None])).sum(axis=1)
-    in2 = ((idx.key_hi[b2] == hi[:, None])
-           & (idx.key_lo[b2] == lo[:, None])).sum(axis=1)
-    same = b1 == b2
-    count = np.where(same, in1, in1 + in2)
+    b = bucket_of_np(canon, idx.meta.n_buckets)
+    count = ((idx.key_hi[b] == hi[:, None])
+             & (idx.key_lo[b] == lo[:, None])).sum(axis=1)
+    if idx.stash.shape[1]:
+        count = count + ((idx.stash[0][None, :] == hi[:, None])
+                         & (idx.stash[1][None, :] == lo[:, None])).sum(axis=1)
     np.testing.assert_array_equal(count, np.ones_like(count))
 
 
-def test_eviction_path():
-    # Force cuckoo evictions: tiny table at high load. All keys must remain
-    # findable and the 2-choice invariant must hold.
-    from pangea_tpu.index.build import layout_table, bucket_pair_np
+def test_stash_overflow_path():
+    # Force bucket overflow: tiny table at very high load. Overflow keys go
+    # to the stash (ascending canonical order) and stay findable; if more
+    # than STASH_MAX keys overflow, NB doubles instead.
+    from pangea_tpu.index.build import layout_table, bucket_of_np, WAYS
     rng = np.random.default_rng(5)
-    n = 220  # > 0.85 load on 256 slots (nb=32 × 8)
+    n = 250  # ~0.98 load on 256 slots (nb=8 × 32)
     kmers = np.unique(rng.integers(0, 1 << 42, size=n * 2).astype(np.uint64))[:n]
     taxa = rng.integers(1, 100, size=n).astype(np.int32)
-    key_hi, key_lo, val, nb = layout_table(kmers, taxa, load_factor=0.9)
+    key_hi, key_lo, val, stash, nb = layout_table(kmers, taxa,
+                                                  load_factor=1.0)
     hi = (kmers >> np.uint64(32)).astype(np.uint32)
     lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    b1, b2 = bucket_pair_np(kmers, nb)
-    found = np.zeros(n, dtype=np.int32)
-    for b in (b1, b2):
-        m = (key_hi[b] == hi[:, None]) & (key_lo[b] == lo[:, None])
-        lane = np.argmax(m, axis=1)
-        hitv = val[b, lane]
-        found = np.where(m.any(axis=1) & (found == 0), hitv, found)
+    b = bucket_of_np(kmers, nb)
+    m = (key_hi[b] == hi[:, None]) & (key_lo[b] == lo[:, None])
+    lane = np.argmax(m, axis=1)
+    found = np.where(m.any(axis=1), val[b, lane], 0).astype(np.int32)
+    sm = (stash[0][None, :] == hi[:, None]) & (stash[1][None, :] == lo[:, None])
+    sl = np.argmax(sm, axis=1)
+    found = np.where(sm.any(axis=1) & (found == 0),
+                     stash[2].view(np.int32)[sl], found)
     np.testing.assert_array_equal(found, taxa)
+    # no bucket stores more than WAYS keys; overflow is exactly the stash
+    occ = (key_hi != np.uint32(EMPTY_HI)).sum()
+    assert occ + stash.shape[1] == n
+    if stash.shape[1]:
+        scanon = (stash[0].astype(np.uint64) << np.uint64(32)) \
+            | stash[1].astype(np.uint64)
+        assert (np.diff(scanon.astype(np.int64)) > 0).all()  # ascending
 
 
 def test_save_load_roundtrip(tmp_path, world):
@@ -103,6 +112,7 @@ def test_save_load_roundtrip(tmp_path, world):
     np.testing.assert_array_equal(idx.key_hi, np.asarray(idx2.key_hi))
     np.testing.assert_array_equal(idx.key_lo, np.asarray(idx2.key_lo))
     np.testing.assert_array_equal(idx.val, np.asarray(idx2.val))
+    np.testing.assert_array_equal(idx.stash, np.asarray(idx2.stash))
     assert idx2.meta == idx.meta
 
 
@@ -110,7 +120,7 @@ def test_shard_tables_cover_all_kmers(world):
     _, _, idx, _ = world
     canon, taxa = extract_pairs(idx)
     for n in (1, 2, 4, 8):
-        key_hi, key_lo, val = shard_tables(idx, n)
+        key_hi, key_lo, val, stash = shard_tables(idx, n)
         assert key_hi.shape[0] == n
         NB = key_hi.shape[1]
         assert NB & (NB - 1) == 0
@@ -121,6 +131,12 @@ def test_shard_tables_cover_all_kmers(world):
             c = (key_hi[s][occ].astype(np.uint64) << np.uint64(32)) \
                 | key_lo[s][occ].astype(np.uint64)
             for cv, tv in zip(c.tolist(), val[s][occ].tolist()):
+                stored.add((cv, tv))
+            socc = stash[s][0] != np.uint32(EMPTY_HI)
+            sc = (stash[s][0][socc].astype(np.uint64) << np.uint64(32)) \
+                | stash[s][1][socc].astype(np.uint64)
+            for cv, tv in zip(sc.tolist(),
+                              stash[s][2][socc].view(np.int32).tolist()):
                 stored.add((cv, tv))
         assert stored == set(zip(canon.tolist(), taxa.tolist()))
 
