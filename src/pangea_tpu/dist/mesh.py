@@ -102,19 +102,18 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
     from jax import shard_map
 
     def local_step(tables, bases, mate_bases):
-        # Local views inside shard_map: fused [1, NB, 3W]; bases [b, L].
+        # Local views inside shard_map: fused [1, NB, 5W]; bases [b, L].
         t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
              "tax": tables["tax"]}
         sid = jax.lax.axis_index(SHARD_AXIS)
-        taxon, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid)
-        if paired:
-            taxon2, nvalid2 = hits_single_shard(t, mate_bases, cfg,
-                                                shard_id=sid)
-            taxon = jnp.concatenate([taxon, taxon2], axis=1)
-            nvalid = nvalid + nvalid2
-        # THE collective: disjoint supports sum exactly (ICI all-reduce).
-        taxon = jax.lax.psum(taxon, SHARD_AXIS)
-        return score_reads_jnp(taxon, nvalid, tables["tax"],
+        hits, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid,
+                                         mate_bases=mate_bases if paired
+                                         else None)
+        # THE collective: per position only the owning shard contributes a
+        # nonzero (taxon, t_in, t_out) — disjoint supports sum exactly
+        # (ICI all-reduce; SEMANTICS.md §11).
+        hits = jax.lax.psum(hits, SHARD_AXIS)
+        return score_reads_jnp(hits, nvalid, tables["tax"],
                                cfg.confidence_threshold)
 
     tab_specs = {"fused": P(SHARD_AXIS, None, None),

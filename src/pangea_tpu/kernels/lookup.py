@@ -37,15 +37,41 @@ def hash32_jnp(hi, lo):
     return mix32_jnp(mix32_jnp(lo ^ _GOLD) ^ hi)
 
 
-def fuse_table(key_hi, key_lo, val):
-    """[NB, W] ×3 arrays → one uint32 [NB, 3W] row [hi×W | lo×W | val×W].
-    One lookup then gathers ONE contiguous 384 B row — same measured cost
-    per row as a 96 B gather on TPU v5e, and one XLA gather total."""
+def fuse_table(key_hi, key_lo, val, tin, tout):
+    """[NB, W] ×3 table arrays + taxonomy Euler arrays ([T+1]) → one uint32
+    [NB, 5W] row [hi×W | lo×W | val×W | tin×W | tout×W].
+
+    One lookup then gathers ONE contiguous 640 B row — same measured cost
+    per row as a 96 B gather on TPU v5e, and one XLA gather total. The
+    tin/tout columns cache the hit taxon's Euler interval so the scorer
+    needs NO per-position taxonomy gather (measured ~8 ms per million
+    positions even on a tiny taxonomy — gathers cost per element, however
+    small the source). Derived at device-load time; not part of the
+    on-disk format."""
     import numpy as np
+    val = np.asarray(val, dtype=np.int32)
+    tin = np.asarray(tin, dtype=np.int32)
+    tout = np.asarray(tout, dtype=np.int32)
     return np.concatenate(
         [np.asarray(key_hi, dtype=np.uint32),
          np.asarray(key_lo, dtype=np.uint32),
-         np.asarray(val, dtype=np.int32).view(np.uint32)], axis=-1)
+         val.view(np.uint32),
+         tin[val].view(np.uint32),
+         tout[val].view(np.uint32)], axis=-1)
+
+
+def fuse_stash(stash, tin, tout):
+    """uint32 [3, S] (hi, lo, val-bits) → uint32 [5, S] with tin/tout rows
+    appended (empty-stash padding keeps val 0 → tin[0]/tout[0], never
+    selected because its key_hi is the EMPTY sentinel)."""
+    import numpy as np
+    stash = np.asarray(stash, dtype=np.uint32)
+    sval = stash[2].view(np.int32)
+    tin = np.asarray(tin, dtype=np.int32)
+    tout = np.asarray(tout, dtype=np.int32)
+    return np.concatenate(
+        [stash, tin[sval].view(np.uint32)[None, :],
+         tout[sval].view(np.uint32)[None, :]], axis=0)
 
 
 def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
@@ -53,13 +79,15 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
     """Probe one (possibly sharded) single-probe table (SEMANTICS.md §5 v5).
 
     hi/lo/valid: uint32/bool [B, P] (or flat [N]) from extract_kmers_jnp.
-    fused: uint32 [NB, 3W] fused rows (fuse_table) — THIS shard's table.
-    stash: uint32 [3, S] overflow rows (hi, lo, val-bits); S may be 0;
-        padding entries carry hi == 0xFFFFFFFF (never match a valid k-mer).
-    Returns taxon int32 like hi (0 = miss, not owned, or invalid).
+    fused: uint32 [NB, 5W] fused rows (fuse_table) — THIS shard's table.
+    stash: uint32 [5, S] overflow rows (fuse_stash); S may be 0; padding
+        entries carry hi == 0xFFFFFFFF (never match a valid k-mer).
+    Returns (taxon, t_in, t_out), each int32 like hi: the hit taxon
+    (0 = miss, not owned, or invalid) and its Euler interval (0 at
+    non-hits — callers mask by ``taxon != 0``).
     """
     nb = fused.shape[0]
-    W = fused.shape[1] // 3
+    W = fused.shape[1] // 5
     bmask = jnp.uint32(nb - 1)
     shape = hi.shape
     hi = hi.reshape(-1)
@@ -74,19 +102,24 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
         mine = valid
     b = (h & bmask).astype(jnp.int32)
 
-    rows = fused[b]                            # [N, 3W] — THE row gather
+    rows = fused[b]                            # [N, 5W] — THE row gather
     khi = rows[:, 0:W]
     klo = rows[:, W:2 * W]
-    v = jax.lax.bitcast_convert_type(rows[:, 2 * W:3 * W], jnp.int32)
+    payload = jax.lax.bitcast_convert_type(rows[:, 2 * W:5 * W], jnp.int32)
     hitlane = (mine[:, None] & (khi == hi[:, None]) & (klo == lo[:, None]))
-    result = jnp.sum(jnp.where(hitlane, v, 0), axis=-1)
+    # Three masked lane-sums over the same hit mask; XLA fuses them into
+    # one pass over the gathered rows.
+    taxon = jnp.sum(jnp.where(hitlane, payload[:, 0:W], 0), axis=-1)
+    t_in = jnp.sum(jnp.where(hitlane, payload[:, W:2 * W], 0), axis=-1)
+    t_out = jnp.sum(jnp.where(hitlane, payload[:, 2 * W:3 * W], 0), axis=-1)
 
     S = stash.shape[1]
     if S:                                       # parallel stash scan (VPU)
-        s_hi = stash[0]
-        s_lo = stash[1]
-        s_v = jax.lax.bitcast_convert_type(stash[2], jnp.int32)
-        shit = (mine[:, None] & (hi[:, None] == s_hi[None, :])
-                & (lo[:, None] == s_lo[None, :]))
-        result = result + jnp.sum(jnp.where(shit, s_v[None, :], 0), axis=-1)
-    return result.reshape(shape)
+        shit = (mine[:, None] & (hi[:, None] == stash[0][None, :])
+                & (lo[:, None] == stash[1][None, :]))
+        sv = jax.lax.bitcast_convert_type(stash[2:], jnp.int32)
+        taxon = taxon + jnp.sum(jnp.where(shit, sv[0][None, :], 0), axis=-1)
+        t_in = t_in + jnp.sum(jnp.where(shit, sv[1][None, :], 0), axis=-1)
+        t_out = t_out + jnp.sum(jnp.where(shit, sv[2][None, :], 0), axis=-1)
+    return (taxon.reshape(shape), t_in.reshape(shape),
+            t_out.reshape(shape))

@@ -1,7 +1,7 @@
 """On-device consensus/LCA scorer (SURVEY.md C13/C11), jnp path.
 
 Implements SEMANTICS.md §7 with TPU-shaped math: the taxonomy is dense
-int32 arrays (Euler tin/tout + binary-lifting ancestor table), so
+int32 arrays (Euler tin/tout), so
 
 - "hits vote for their subtree" becomes a [B, P, P] interval-containment
   matrix on the VPU (two compares per pair) — no per-node structs, no
@@ -9,9 +9,15 @@ int32 arrays (Euler tin/tout + binary-lifting ancestor table), so
 - the tally + argmax over the tree collapses to a row max over hit
   positions (the maximizer of the path score is always attained at a hit
   taxon);
-- the LCA-fold over tied winners uses the classic Euler-tour property
-  LCA(set) = LCA(argmin tin, argmax tin): one pairwise binary-lifting LCA
-  per read, fully vectorized over the batch.
+- per-position Euler intervals (t_in, t_out) arrive WITH the hits from the
+  lookup kernel (the fused table row carries them — see lookup.fuse_table),
+  because measured on TPU v5e a [B, P] gather from even a tiny taxonomy
+  array costs ~8 ms per million elements — far more than the compares;
+- the LCA-fold over tied winners uses the Euler-tour property
+  LCA(set) = LCA(argmin tin, argmax tin); the pairwise LCA is computed by
+  a direct deepest-common-ancestor scan over the whole taxonomy ([B, T+1]
+  interval tests on the VPU — gather-free) when the taxonomy is small,
+  falling back to binary lifting for big taxonomies.
 
 Bit-exactness contract: identical to `pangea_tpu.golden._score_hits`.
 """
@@ -20,6 +26,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 _I32_MAX = jnp.int32(2**31 - 1)
+# Direct [B, T+1] LCA scan below this taxonomy size; binary lifting above.
+_DIRECT_LCA_MAX_TAXA = 4096
 
 
 def lca_pairs_jnp(u, v, parent, depth, up):
@@ -53,8 +61,28 @@ def lca_pairs_jnp(u, v, parent, depth, up):
     return res
 
 
-def score_reads_jnp(taxon, nvalid, tax_arrays, confidence_threshold):
-    """taxon: int32 [B, P] per-position hit taxa (0 = miss); nvalid: int32 [B].
+def _lca_by_tin_direct(u, v, tin_u, tin_v, tax_arrays):
+    """Gather-free pairwise LCA given the nodes' Euler tin values: the LCA
+    is the deepest taxon whose [tin, tout) interval contains both tins —
+    one [B, T+1] VPU scan, unique argmax (ancestors of a node form a chain
+    with distinct depths). Identity rules for 0 applied at the end."""
+    tin = tax_arrays["tin"]
+    tout = tax_arrays["tout"]
+    depth = tax_arrays["depth"]
+    ca = (tin[None, :] <= tin_u[:, None]) & (tin_u[:, None] < tout[None, :]) \
+        & (tin[None, :] <= tin_v[:, None]) & (tin_v[:, None] < tout[None, :])
+    d = jnp.where(ca, depth[None, :], jnp.int32(-1))
+    res = jnp.argmax(d, axis=1).astype(jnp.int32)
+    zu = u == 0
+    zv = v == 0
+    return jnp.where(zu & zv, jnp.int32(0),
+                     jnp.where(zu, v, jnp.where(zv, u, res)))
+
+
+def score_reads_jnp(hits, nvalid, tax_arrays, confidence_threshold):
+    """hits: (taxon, t_in, t_out) — int32 [B, P] per-position hit taxa
+    (0 = miss) and their Euler intervals (from the fused-row lookup; values
+    at miss positions are arbitrary and fully masked). nvalid: int32 [B].
 
     tax_arrays: dict with 'tin', 'tout', 'parent', 'depth' (int32 [T+1]) and
     'up' (int32 [levels, T+1]).
@@ -62,11 +90,8 @@ def score_reads_jnp(taxon, nvalid, tax_arrays, confidence_threshold):
     outputs; reported confidence derives on the host (§7.7). The only float
     op is the §7.6 threshold multiply-compare (IEEE-exact everywhere).
     """
-    tin = tax_arrays["tin"]
-    tout = tax_arrays["tout"]
+    taxon, t_in, t_out = hits
     hit = taxon != 0
-    t_in = tin[taxon]     # int32 [B, P] (taxon 0 → -1, harmless: masked)
-    t_out = tout[taxon]
     # anc[b, j, i] = hit_j and is_ancestor_or_self(t_j, t_i)
     anc = (t_in[:, :, None] <= t_in[:, None, :]) & \
           (t_in[:, None, :] < t_out[:, :, None]) & hit[:, :, None]
@@ -74,16 +99,20 @@ def score_reads_jnp(taxon, nvalid, tax_arrays, confidence_threshold):
     pscore = jnp.where(hit, pscore, jnp.int32(0))
     best = jnp.max(pscore, axis=1)                            # [B]
     winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
-    # LCA of winners = LCA(min-tin winner, max-tin winner).
-    tin_w_min = jnp.where(winner, t_in, _I32_MAX)
-    tin_w_max = jnp.where(winner, t_in, jnp.int32(-2))
-    iu = jnp.argmin(tin_w_min, axis=1)
-    iv = jnp.argmax(tin_w_max, axis=1)
-    rows = jnp.arange(taxon.shape[0])
-    u = jnp.where(jnp.any(winner, axis=1), taxon[rows, iu], jnp.int32(0))
-    v = jnp.where(jnp.any(winner, axis=1), taxon[rows, iv], jnp.int32(0))
-    assigned = lca_pairs_jnp(u, v, tax_arrays["parent"], tax_arrays["depth"],
-                             tax_arrays["up"])
+    # LCA of winners = LCA(min-tin winner, max-tin winner). Extract the two
+    # endpoints by pure reductions (no gathers): a tin value identifies its
+    # taxon uniquely among this read's winners.
+    tin_u = jnp.min(jnp.where(winner, t_in, _I32_MAX), axis=1)
+    tin_v = jnp.max(jnp.where(winner, t_in, jnp.int32(-2)), axis=1)
+    u = jnp.max(jnp.where(winner & (t_in == tin_u[:, None]), taxon, 0),
+                axis=1)
+    v = jnp.max(jnp.where(winner & (t_in == tin_v[:, None]), taxon, 0),
+                axis=1)
+    if tax_arrays["tin"].shape[0] <= _DIRECT_LCA_MAX_TAXA:
+        assigned = _lca_by_tin_direct(u, v, tin_u, tin_v, tax_arrays)
+    else:
+        assigned = lca_pairs_jnp(u, v, tax_arrays["parent"],
+                                 tax_arrays["depth"], tax_arrays["up"])
     below = best.astype(jnp.float32) < \
         jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
     out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)

@@ -62,10 +62,19 @@ def test_lookup_matches_numpy(world):
     hi = (probes >> np.uint64(32)).astype(np.uint32)
     lo = (probes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     valid = np.ones(probes.shape, bool)
-    got = lookup_jnp(jnp.array(hi), jnp.array(lo), jnp.array(valid),
-                     jnp.array(di.fused[0]), jnp.array(di.stash[0]))
+    got, g_tin, g_tout = lookup_jnp(
+        jnp.array(hi), jnp.array(lo), jnp.array(valid),
+        jnp.array(di.fused[0]), jnp.array(di.stash[0]))
     want = idx.lookup_np(probes.ravel(), valid.ravel()).reshape(4, 250)
     np.testing.assert_array_equal(np.asarray(got), want)
+    # Euler intervals ride along with hits (0 at misses).
+    tax = idx.taxonomy
+    hitm = want != 0
+    np.testing.assert_array_equal(np.asarray(g_tin)[hitm],
+                                  tax.tin[want[hitm]])
+    np.testing.assert_array_equal(np.asarray(g_tout)[hitm],
+                                  tax.tout[want[hitm]])
+    np.testing.assert_array_equal(np.asarray(g_tin)[~hitm], 0)
 
 
 def test_lca_pairs_matches_taxonomy(world):
