@@ -32,6 +32,7 @@ class ClassifyConfig:
     n_shards: int = 1
     confidence_threshold: float = 0.0
     w: int = 1                      # minimizer window (SEMANTICS.md §3)
+    ways: int = 16                  # bucket width (index.meta.ways)
 
 
 @dataclass
@@ -62,7 +63,9 @@ class DeviceIndex:
         cfg = ClassifyConfig(
             k=index.meta.k, n_shards=n_shards,
             confidence_threshold=confidence_threshold,
-            w=index.meta.w,
+            # ways of the DEVICE tables: shard_tables re-lays the table,
+            # so trust its output shape, not the on-disk header.
+            w=index.meta.w, ways=int(key_hi.shape[-1]),
         )
         return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
@@ -94,7 +97,8 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     lo = los[0] if len(parts) == 1 else jnp.concatenate(los, axis=1)
     valid = vals[0] if len(parts) == 1 else jnp.concatenate(vals, axis=1)
     hits = lookup_jnp(hi, lo, valid, tables["fused"], tables["stash"],
-                      n_shards=cfg.n_shards, shard_id=shard_id)
+                      n_shards=cfg.n_shards, shard_id=shard_id,
+                      ways=cfg.ways)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     return hits, nvalid
 
