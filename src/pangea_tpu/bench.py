@@ -102,7 +102,7 @@ def _measure(fn, tables, d1, d2, rounds=4, reps=3):
 
 
 def run_bench(config_path=None, overrides=(), n_reads=100_000,
-              batch=32_768, read_len=150, rounds=4,
+              batch=16_384, read_len=150, rounds=4,
               minimizer_w=8, with_dense=True) -> dict:
     """Steady-state device throughput benchmark. Returns the driver's
     one-line JSON dict. Headline = the minimizer production config

@@ -52,7 +52,7 @@ def main(argv=None) -> int:
                    help="2-column TSV: seqid taxid")
     b.add_argument("--k", type=int, default=21)
     b.add_argument("--minimizer-w", type=int, default=1)
-    b.add_argument("--load-factor", type=float, default=0.7)
+    b.add_argument("--load-factor", type=float, default=0.5)
     b.add_argument("--out", required=True)
 
     c = sub.add_parser("classify", help="classify reads against an index")

@@ -68,7 +68,7 @@ def _genomes_from_fasta(paths, taxonomy: Taxonomy, taxid_map: dict | None):
 def run_build(refs: list[str], taxonomy_path: str, k: int, out: str,
               w: int = 1, names_dmp: str | None = None,
               taxid_map_path: str | None = None,
-              load_factor: float = 0.7) -> Index:
+              load_factor: float = 0.5) -> Index:
     tax = load_taxonomy_any(taxonomy_path, names_dmp)
     taxid_map = None
     if taxid_map_path:
