@@ -1,18 +1,25 @@
-// Native FASTA/FASTQ ingest + 2-bit base encoding (SURVEY.md C1/C2, §3.2).
+// Native FASTA/FASTQ ingest + 2-bit base encoding + assignment-TSV writer
+// (SURVEY.md C1/C2/C18, §3.2).
 //
-// The TPU-native framework keeps its hot parse on the host CPU: a kseq-style
-// buffered record scanner over zlib (transparent gzip), encoding bases
-// directly into the padded int8 [batch, max_len] code matrix the device
-// consumes (SEMANTICS.md §1: A/C/G/T/U case-insensitive → 0..3, everything
-// else → 4; pad = 4). Exposed as a plain C ABI for ctypes — no pybind11 in
-// this environment.
+// The TPU-native framework keeps its hot parse AND its hot report writes on
+// the host CPU: a kseq-style buffered record scanner over zlib (transparent
+// gzip), encoding bases directly into the padded int8 [batch, max_len] code
+// matrix the device consumes (SEMANTICS.md §1: A/C/G/T/U case-insensitive →
+// 0..3, everything else → 4; pad = 4), and a bulk per-read assignment
+// writer (SEMANTICS.md §10.1) that formats whole batches without touching
+// per-read Python objects. Exposed as a plain C ABI for ctypes — no
+// pybind11 in this environment.
 //
-// Semantics contract: byte-identical encoding to
-// pangea_tpu.core.semantics_np._BASE_LUT (tested in tests/test_io_native.py).
+// Semantics contracts: encoding byte-identical to
+// pangea_tpu.core.semantics_np._BASE_LUT (tested in tests/test_io_native.py);
+// assignment lines byte-identical to report.writers.format_assignment
+// (tested in tests/test_io_native.py).
 
+#include <unistd.h>
 #include <zlib.h>
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -243,6 +250,163 @@ long pangea_fastx_next_batch(void* h, long max_reads, long max_len,
     r->pos = s;
   }
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Packed-batch parser: like pangea_fastx_next_batch but emits the 2-bit
+// device wire format (SEMANTICS.md §1/§2) — ONE uint32 row per read:
+//   words[0 .. W16)  : base j in bits [2*(j%16), +2) of word j/16 (code&3)
+//   words[W16 .. W16+W32): "bad" bitmask — bit (j%32) of word j/32 set when
+//                      base j is AMBIG (or beyond the read's length — pad)
+// with W16 = ceil(max_len/16), W32 = ceil(max_len/32). 60 B per 150 bp read
+// instead of 150 B, and a whole batch ships to the device as ONE array (the
+// host↔device link charges a large fixed cost per transfer).
+long pangea_fastx_next_batch_packed(void* h, long max_reads, long max_len,
+                                    uint32_t* rows, int32_t* lens,
+                                    char* ids, long id_stride) {
+  Reader* r = (Reader*)h;
+  if (!r || !r->peek_format()) return -1;
+  const long w16 = (max_len + 15) / 16, w32 = (max_len + 31) / 32;
+  const long stride = w16 + w32;
+  long n = 0;
+  size_t s, e;
+
+  auto pack_row = [&](const char* seq, size_t len, long i) {
+    uint32_t* wp = rows + i * stride;
+    uint32_t* bp = wp + w16;
+    std::memset(wp, 0, (size_t)w16 * 4);
+    std::memset(bp, 0xFF, (size_t)w32 * 4);  // default: bad (pad)
+    size_t m = len < (size_t)max_len ? len : (size_t)max_len;
+    for (size_t j = 0; j < m; ++j) {
+      unsigned char c = kLut.enc[(unsigned char)seq[j]];
+      wp[j >> 4] |= (uint32_t)(c & 3) << (2 * (j & 15));
+      if (c <= 3) bp[j >> 5] &= ~(1u << (j & 31));
+    }
+    lens[i] = (int32_t)m;
+  };
+
+  if (r->format == 2) {  // FASTQ
+    while (n < max_reads) {
+      if (!r->getline(&s, &e)) break;
+      if (e == s) continue;
+      if (r->buf[s] != '@') {
+        r->err = "malformed FASTQ header";
+        return -1;
+      }
+      copy_id(&r->buf[s + 1], e - s - 1, ids + n * id_stride, id_stride);
+      if (!r->getline(&s, &e)) {
+        r->err = "truncated FASTQ record";
+        return -1;
+      }
+      pack_row(&r->buf[s], e - s, n);
+      size_t seq_len = e - s;
+      if (!r->getline(&s, &e) || r->buf[s] != '+') {
+        r->err = "malformed FASTQ separator";
+        return -1;
+      }
+      if (!r->getline(&s, &e)) {
+        r->err = "truncated FASTQ quality";
+        return -1;
+      }
+      if (e - s != seq_len) {
+        r->err = "FASTQ qual/seq length mismatch";
+        return -1;
+      }
+      ++n;
+    }
+    return n;
+  }
+  std::string& seq = r->seq_scratch;  // FASTA
+  while (n < max_reads) {
+    if (!r->getline(&s, &e)) break;
+    if (e == s) continue;
+    if (r->buf[s] != '>') {
+      r->err = "malformed FASTA header";
+      return -1;
+    }
+    copy_id(&r->buf[s + 1], e - s - 1, ids + n * id_stride, id_stride);
+    seq.clear();
+    bool eof = false;
+    for (;;) {
+      if (!r->getline(&s, &e)) {
+        eof = true;
+        break;
+      }
+      if (e > s && r->buf[s] == '>') break;
+      seq.append(&r->buf[s], e - s);
+    }
+    pack_row(seq.data(), seq.size(), n);
+    ++n;
+    if (eof) break;
+    r->pos = s;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Bulk per-read assignment writer (SEMANTICS.md §10.1, SURVEY.md C18).
+//
+// Formats one batch of assignment lines
+//   <C|U>\t<read_id>\t<taxon>\t<rank>\t<name>\t<best>/<nvalid>\t<conf %.6f>\n
+// and appends them to `path`. conf = (float)best / (float)nvalid computed in
+// float32 then printed with C printf %.6f — byte-identical to the Python
+// writer (format_assignment), which formats the same float32 value.
+//
+//   ids:        char [n, id_stride] NUL-terminated (reader layout); when
+//               strip_mate_suffix, a trailing "/1" or "/2" is dropped.
+//   rank_code:  int8 [T+1] rank codes into rank_blob/rank_off ([R+1] blob
+//               offsets — rank r's name is rank_blob[rank_off[r]..[r+1]).
+//   names:      names_blob/name_off, same offset-blob encoding, [T+2].
+//   do_fsync:   fsync before returning (callers batch durability points —
+//               the resume manifest records offsets only after an fsync).
+// Returns the file size (offset) after the write, or -1 on IO error.
+long pangea_write_assignments(
+    const char* path, int append, long n,
+    const char* ids, long id_stride, int strip_mate_suffix,
+    const int32_t* taxon, const int32_t* best, const int32_t* nvalid,
+    const int8_t* rank_code,
+    const char* names_blob, const int64_t* name_off,
+    const char* rank_blob, const int64_t* rank_off, int do_fsync) {
+  FILE* f = std::fopen(path, append ? "ab" : "wb");
+  if (!f) return -1;
+  std::string out;
+  out.reserve((size_t)n * 64);
+  char tmp[64];
+  for (long i = 0; i < n; ++i) {
+    const char* id = ids + i * id_stride;
+    size_t idlen = strnlen(id, (size_t)id_stride);
+    if (strip_mate_suffix && idlen >= 2 && id[idlen - 2] == '/' &&
+        (id[idlen - 1] == '1' || id[idlen - 1] == '2'))
+      idlen -= 2;
+    int32_t t = taxon[i];
+    out.push_back(t != 0 ? 'C' : 'U');
+    out.push_back('\t');
+    out.append(id, idlen);
+    out.push_back('\t');
+    int m = std::snprintf(tmp, sizeof tmp, "%d\t", t);
+    out.append(tmp, m);
+    int8_t rc = t != 0 ? rank_code[t] : 0;
+    out.append(rank_blob + rank_off[rc],
+               (size_t)(rank_off[rc + 1] - rank_off[rc]));
+    out.push_back('\t');
+    int64_t noff = t != 0 ? name_off[t] : name_off[0];
+    int64_t nend = t != 0 ? name_off[t + 1] : name_off[1];
+    out.append(names_blob + noff, (size_t)(nend - noff));
+    float conf = nvalid[i] ? (float)best[i] / (float)nvalid[i] : 0.0f;
+    m = std::snprintf(tmp, sizeof tmp, "\t%d/%d\t%.6f\n", best[i], nvalid[i],
+                      (double)conf);
+    out.append(tmp, m);
+  }
+  size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
+  if (wrote != out.size()) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fflush(f);
+  if (do_fsync) fsync(fileno(f));
+  long off = std::ftell(f);
+  std::fclose(f);
+  return off;
 }
 
 }  // extern "C"

@@ -75,17 +75,23 @@ class DeviceIndex:
 
 
 def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
-                      shard_id=0, mate_bases=None):
-    """bases (and optional mate_bases) int8 [B, L] →
-    ((taxon, t_in, t_out) int32 [B, P], nvalid int32 [B]) on ONE shard's
-    table (tables["fused"]/["stash"] already sliced to this shard:
-    [NB, 5W] / [5, S]). Mates are concatenated at the k-mer level
-    (SEMANTICS.md §8) BEFORE the lookup: one big gather runs measurably
-    faster than two half-size ones on v5e."""
+                      shard_id=0, mate_bases=None, packed_len: int = 0):
+    """bases (and optional mate_bases) → ((taxon, t_in, t_out) int32
+    [B, P], nvalid int32 [B]) on ONE shard's table
+    (tables["fused"]/["stash"] already sliced to this shard: [NB, 4W|6W] /
+    [5, S]). Inputs are int8 [B, L] code matrices, or — when packed_len=L
+    is given — uint32 [B, W16+W32] packed wire rows (encode.unpack_wire;
+    2.5x less host→device traffic). Mates are concatenated at the k-mer
+    level (SEMANTICS.md §8) BEFORE the lookup: one big gather runs
+    measurably faster than two half-size ones on v5e."""
+    from ..kernels.encode import extract_kmers_packed_jnp
     parts = [bases] if mate_bases is None else [bases, mate_bases]
     his, los, vals = [], [], []
     for bb in parts:
-        hi, lo, valid = extract_kmers_jnp(bb, cfg.k)
+        if packed_len:
+            hi, lo, valid = extract_kmers_packed_jnp(bb, packed_len, cfg.k)
+        else:
+            hi, lo, valid = extract_kmers_jnp(bb, cfg.k)
         if cfg.w > 1:
             # SEMANTICS.md §3 v4: probe one k-mer per valid disjoint
             # window — shrinks the gather tensor [B, P] → [B, P//w].
@@ -103,11 +109,13 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     return hits, nvalid
 
 
-def make_classify_fn(cfg: ClassifyConfig, paired: bool = False):
+def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
+                     packed_len: int = 0):
     """Build the single-device classify step (n_shards must be 1).
 
     Returns fn(tables, bases[, mate_bases]) -> dict(taxon, best, nvalid,
-    conf), jittable. For sharded execution use
+    conf), jittable. With packed_len=L the inputs are packed wire rows
+    (see hits_single_shard). For sharded execution use
     pangea_tpu.dist.make_sharded_classify_fn, which wraps the same kernels
     in shard_map with a psum hit merge.
     """
@@ -116,7 +124,8 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False):
         t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
              "tax": tables["tax"]}
         hits, nvalid = hits_single_shard(t, bases, cfg,
-                                         mate_bases=mate_bases)
+                                         mate_bases=mate_bases,
+                                         packed_len=packed_len)
         return score_reads_jnp(hits, nvalid, tables["tax"],
                                cfg.confidence_threshold)
 

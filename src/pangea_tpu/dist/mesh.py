@@ -94,21 +94,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
-                             paired: bool = False):
+                             paired: bool = False, packed_len: int = 0):
     """The distributed classify step: shard_map over (data, shard) with one
     psum merging the disjoint per-position hit arrays (SEMANTICS.md §5.1,
     §11) before scoring. Returns fn(tables, bases[, mate_bases]) -> dict of
-    int32 [B] outputs (replicated along shard, sharded along data)."""
+    int32 [B] outputs (replicated along shard, sharded along data). With
+    packed_len=L the batch inputs are packed wire rows (engine docs)."""
     from jax import shard_map
 
     def local_step(tables, bases, mate_bases):
-        # Local views inside shard_map: fused [1, NB, 5W]; bases [b, L].
+        # Local views inside shard_map: fused [1, NB, 4W|6W]; bases [b, L].
         t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
              "tax": tables["tax"]}
         sid = jax.lax.axis_index(SHARD_AXIS)
         hits, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid,
                                          mate_bases=mate_bases if paired
-                                         else None)
+                                         else None, packed_len=packed_len)
         # THE collective: per position only the owning shard contributes a
         # nonzero (taxon, t_in, t_out) — disjoint supports sum exactly
         # (ICI all-reduce; SEMANTICS.md §11).

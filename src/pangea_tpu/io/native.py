@@ -61,6 +61,21 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_long,
         ]
+        lib.pangea_fastx_next_batch_packed.restype = ctypes.c_long
+        lib.pangea_fastx_next_batch_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_long,
+        ]
+        lib.pangea_write_assignments.restype = ctypes.c_long
+        lib.pangea_write_assignments.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -95,9 +110,10 @@ class NativeFastxReader:
     def __del__(self):
         self.close()
 
-    def next_batch(self):
-        """Returns (ids: list[str], codes int8 [n,L], lens int32 [n],
-        quals uint8 [n,L] | None) or None at EOF."""
+    def next_batch_raw(self):
+        """Zero-Python-objects batch: returns (n, ids_raw: bytes
+        [B*_ID_STRIDE], codes int8 [B,L], lens int32 [B], quals | None) or
+        None at EOF. Rows ≥ n are uninitialized."""
         B, L = self.batch_size, self.max_len
         codes = np.empty((B, L), dtype=np.int8)
         lens = np.empty(B, dtype=np.int32)
@@ -115,7 +131,37 @@ class NativeFastxReader:
             raise ValueError(f"{self.path}: {err}")
         if n == 0:
             return None
-        raw = ids.raw  # one copy of the buffer, not one per read
+        return n, ids.raw, codes, lens, quals
+
+    def next_batch_packed(self):
+        """Wire-format batch (pangea_io.cpp packed layout): returns
+        (n, ids_raw: bytes, rows uint32 [B, W16+W32]) or None at EOF.
+        2-bit codes + bad bitmask — 60 B per 150 bp read, ready to ship to
+        the device as ONE array."""
+        B, L = self.batch_size, self.max_len
+        stride = (L + 15) // 16 + (L + 31) // 32
+        rows = np.empty((B, stride), dtype=np.uint32)
+        lens = np.empty(B, dtype=np.int32)
+        ids = ctypes.create_string_buffer(B * _ID_STRIDE)
+        n = self._lib.pangea_fastx_next_batch_packed(
+            self._h, B, L,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ids, _ID_STRIDE)
+        if n < 0:
+            err = self._lib.pangea_fastx_error(self._h).decode()
+            raise ValueError(f"{self.path}: {err}")
+        if n == 0:
+            return None
+        return n, ids.raw, rows
+
+    def next_batch(self):
+        """Returns (ids: list[str], codes int8 [n,L], lens int32 [n],
+        quals uint8 [n,L] | None) or None at EOF."""
+        b = self.next_batch_raw()
+        if b is None:
+            return None
+        n, raw, codes, lens, quals = b
         id_list = [
             raw[i * _ID_STRIDE:(i + 1) * _ID_STRIDE].split(b"\0", 1)[0]
             .decode() for i in range(n)]
@@ -128,6 +174,65 @@ class NativeFastxReader:
             if b is None:
                 return
             yield b
+
+
+class _TaxBlobs:
+    """Cached offset-blob encodings of a taxonomy's names/ranks for the
+    native assignment writer."""
+
+    def __init__(self, taxonomy):
+        from ..taxonomy import RANK_NAMES
+        names = [n.encode() for n in taxonomy.names]
+        offs = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, n in enumerate(names):
+            offs[i + 1] = offs[i] + len(n)
+        self.names_blob = b"".join(names)
+        self.name_off = offs
+        ranks = [r.encode() for r in RANK_NAMES]
+        roffs = np.zeros(len(ranks) + 1, dtype=np.int64)
+        for i, r in enumerate(ranks):
+            roffs[i + 1] = roffs[i] + len(r)
+        self.rank_blob = b"".join(ranks)
+        self.rank_off = roffs
+        self.rank_code = np.ascontiguousarray(taxonomy.rank, dtype=np.int8)
+
+
+_tax_blob_cache: dict = {}
+
+
+def write_assignments_native(path: str, append: bool, ids_raw: bytes,
+                             id_stride: int, n: int, taxon, best, nvalid,
+                             taxonomy, strip_mate_suffix: bool = True,
+                             do_fsync: bool = True) -> int:
+    """Bulk-write n SEMANTICS.md §10.1 lines from device-output arrays and
+    the reader's raw id buffer — no per-read Python objects. Returns the
+    file offset after the write (durable when do_fsync). Byte-identical to
+    report.writers.format_assignment."""
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native io library unavailable")
+    key = id(taxonomy)
+    blobs = _tax_blob_cache.get(key)
+    if blobs is None:
+        blobs = _tax_blob_cache[key] = _TaxBlobs(taxonomy)
+    taxon = np.ascontiguousarray(taxon, dtype=np.int32)
+    best = np.ascontiguousarray(best, dtype=np.int32)
+    nvalid = np.ascontiguousarray(nvalid, dtype=np.int32)
+    off = lib.pangea_write_assignments(
+        path.encode(), 1 if append else 0, n,
+        ids_raw, id_stride, 1 if strip_mate_suffix else 0,
+        taxon.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blobs.rank_code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        blobs.names_blob,
+        blobs.name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blobs.rank_blob,
+        blobs.rank_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if do_fsync else 0)
+    if off < 0:
+        raise OSError(f"native assignment write failed: {path}")
+    return int(off)
 
 
 def read_batches_native(path: str, batch_size: int, max_len: int,

@@ -81,13 +81,39 @@ def extract_kmers_jnp(bases: jnp.ndarray, k: int):
     with P = L - k + 1 k-mer positions per SEMANTICS.md §2. Invalid
     positions carry canonical value 0.
     """
-    B, L = bases.shape
-    P = L - k + 1
-    if P <= 0:
-        raise ValueError(f"read length {L} shorter than k={k}")
     codes = bases.astype(jnp.uint32)
     bad = (codes > 3).astype(jnp.uint32)
     c2 = codes & jnp.uint32(3)
+    return _extract_from_c2(c2, bad, k)
+
+
+def unpack_wire(rows: jnp.ndarray, L: int):
+    """Decode the native packed wire format (pangea_io.cpp
+    pangea_fastx_next_batch_packed): rows uint32 [B, W16 + W32] with base j
+    in bits [2*(j%16), +2) of word j//16 and its "bad" flag in bit (j%32)
+    of bad-word j//32. Returns (c2, bad): uint32 [B, L] each — pure
+    elementwise VPU work that XLA fuses into the extraction pass."""
+    w16 = (L + 15) // 16
+    pos = jnp.arange(L)
+    words = jnp.repeat(rows[:, :w16], 16, axis=1)[:, :L]
+    c2 = (words >> (2 * (pos & 15)).astype(jnp.uint32)[None, :]) \
+        & jnp.uint32(3)
+    bwords = jnp.repeat(rows[:, w16:], 32, axis=1)[:, :L]
+    bad = (bwords >> (pos & 31).astype(jnp.uint32)[None, :]) & jnp.uint32(1)
+    return c2, bad
+
+
+def extract_kmers_packed_jnp(rows: jnp.ndarray, L: int, k: int):
+    """Packed-wire-format twin of extract_kmers_jnp (same outputs)."""
+    c2, bad = unpack_wire(rows, L)
+    return _extract_from_c2(c2, bad, k)
+
+
+def _extract_from_c2(c2: jnp.ndarray, bad: jnp.ndarray, k: int):
+    B, L = c2.shape
+    P = L - k + 1
+    if P <= 0:
+        raise ValueError(f"read length {L} shorter than k={k}")
 
     max_level = 1
     while max_level * 2 <= k:

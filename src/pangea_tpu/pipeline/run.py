@@ -138,6 +138,217 @@ class _SampleSink:
         self.fh.close()
 
 
+def _trim_is_noop(t: TrimConfig) -> bool:
+    return t.min_qual <= 0 and not t.min_len and not t.max_len
+
+
+def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
+                       manifest, progress) -> dict:
+    """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
+    counterpart of the reference C binary's parse→classify→printf loop):
+
+    - native reader yields raw (ids bytes, padded codes) batches;
+    - the main thread launches device steps (async dispatch) and queues the
+      lazy outputs;
+    - a single drain thread fetches results (overlapping the ~30 ms tunnel
+      fetch RTT with compute), merges multi-k, and bulk-writes assignment
+      TSVs through the native writer — manifest commits stay FIFO.
+
+    Preconditions (checked by run_classify): native io available, no demux,
+    no-op trim, single sample per file.
+    """
+    import jax
+
+    from ..io.native import (_ID_STRIDE, NativeFastxReader,
+                             write_assignments_native)
+
+    out_dir = cfg.classify.out_dir
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    metrics_fh = open(metrics_path, "a" if cfg.classify.resume else "w")
+    totals = {"reads": 0, "classified": 0, "batches": 0}
+    t_start = time.time()
+    files = list(cfg.input.reads)
+    mates = list(cfg.input.mates) if paired else [None] * len(files)
+    samples = list(cfg.input.samples) if cfg.input.samples else \
+        [os.path.basename(f).split(".")[0] for f in files]
+
+    sample_paths: dict[str, str] = {}
+    sample_direct: dict[str, np.ndarray] = {}
+    appended: set = set()
+    drain_q: queue.Queue = queue.Queue(maxsize=4)
+    drain_err: list = []
+    _END = object()
+    # Durability interval (SURVEY.md §6 "fsync'd per N batches"): fsync +
+    # manifest commit every N drained batches; a crash re-does at most N.
+    fsync_every = max(int(os.environ.get("PANGEA_FSYNC_EVERY", "8")), 1)
+    pend = {"fpath": None, "reads": 0, "path": None, "off": 0, "k": 0}
+
+    def flush_durability():
+        if not pend["reads"]:
+            return
+        fd = os.open(pend["path"], os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        manifest.record_batch(pend["fpath"], pend["reads"],
+                              {pend["path"]: pend["off"]})
+        pend.update(fpath=None, reads=0, path=None, off=0, k=0)
+
+    def drain_worker():
+        try:
+            while True:
+                item = drain_q.get()
+                if item is _END:
+                    flush_durability()
+                    return
+                t_d0 = time.time()
+                outs_np = [{k: np.asarray(v) for k, v in o.items()}
+                           for o in item["outs"]]
+                res = outs_np[0]
+                for o2 in outs_np[1:]:
+                    res = merge_multik_np(res, o2, tax)
+                path = sample_paths[item["sample"]]
+                cut = item["write_from"]
+                n = item["n"]
+                append = path in appended or cfg.classify.resume
+                off = write_assignments_native(
+                    path, append,
+                    item["ids_raw"][cut * _ID_STRIDE:], _ID_STRIDE,
+                    n - cut, res["taxon"][cut:n], res["best"][cut:n],
+                    res["nvalid"][cut:n], tax, strip_mate_suffix=True,
+                    do_fsync=False)
+                appended.add(path)
+                taxa_new = res["taxon"][cut:n]
+                acc = sample_direct.get(item["sample"])
+                counts = np.bincount(taxa_new,
+                                     minlength=tax.num_taxa + 1)
+                sample_direct[item["sample"]] = \
+                    counts if acc is None else acc + counts
+                # Record only the NEWLY written reads (a partial-resume
+                # batch's first `cut` reads were counted by the prior run),
+                # and only at fsync'd durability points.
+                if pend["fpath"] not in (None, item["fpath"]):
+                    flush_durability()
+                pend.update(fpath=item["fpath"],
+                            reads=pend["reads"] + n - cut,
+                            path=path, off=off, k=pend["k"] + 1)
+                if pend["k"] >= fsync_every:
+                    flush_durability()
+                n_cls = int((taxa_new != 0).sum())
+                dt = time.time() - item["t0"]
+                totals["reads"] += n - cut
+                totals["classified"] += n_cls
+                totals["batches"] += 1
+                line = {"file": item["fpath"], "batch": totals["batches"],
+                        "reads": n - cut, "sec": round(dt, 4),
+                        "launch_sec": round(item["t_launch"], 4),
+                        "drain_sec": round(time.time() - t_d0, 4),
+                        "reads_per_sec": round((n - cut) / max(dt, 1e-9), 1),
+                        "cum_reads": totals["reads"],
+                        "pct_classified": round(
+                            100.0 * totals["classified"]
+                            / max(totals["reads"], 1), 2)}
+                metrics_fh.write(json.dumps(line) + "\n")
+                metrics_fh.flush()
+                if progress:
+                    print(f"[classify] {line}", file=sys.stderr)
+        except BaseException as e:  # noqa: BLE001 — surfaced in main thread
+            drain_err.append(e)
+
+    drainer = threading.Thread(target=drain_worker, daemon=True)
+    drainer.start()
+
+    stride = (L + 15) // 16 + (L + 31) // 32   # packed wire row width
+    for fpath, mpath, fsample in zip(files, mates, samples):
+        sample_paths[fsample] = os.path.join(out_dir,
+                                             f"{fsample}.assign.tsv")
+        done = manifest.reads_done(fpath)
+        seen = 0
+        r1 = NativeFastxReader(fpath, B, L, want_quals=False)
+        r2 = NativeFastxReader(mpath, B, L, want_quals=False) \
+            if mpath else None
+        try:
+            while True:
+                if drain_err:
+                    raise drain_err[0]
+                b1 = r1.next_batch_packed()
+                if b1 is None:
+                    break
+                n, ids_raw, rows = b1
+                if r2 is not None:
+                    b2 = r2.next_batch_packed()
+                    if b2 is None or b2[0] != n:
+                        raise ValueError(f"{mpath}: record count mismatch "
+                                         f"with {fpath}")
+                    # ONE combined host→device transfer per batch — the
+                    # link charges a large fixed cost per transfer.
+                    rows = np.concatenate([rows, b2[2]], axis=1)
+                if seen + n <= done:       # resume: whole batch already done
+                    seen += n
+                    continue
+                write_from = max(done - seen, 0)
+                seen += n
+                t0 = time.time()
+                combo = jax.device_put(rows, bsh)
+                dev_b = combo[:, :stride] if paired else combo
+                dev_m = combo[:, stride:] if paired else None
+                outs = []
+                for di, fn in zip(dis, fns):
+                    outs.append(fn(di.tables, dev_b, dev_m) if paired
+                                else fn(di.tables, dev_b))
+                drain_q.put({"fpath": fpath, "n": n, "ids_raw": ids_raw,
+                             "write_from": write_from, "sample": fsample,
+                             "outs": outs, "t0": t0,
+                             "t_launch": time.time() - t0})
+        finally:
+            r1.close()
+            if r2 is not None:
+                r2.close()
+    drain_q.put(_END)
+    drainer.join()
+    if drain_err:
+        raise drain_err[0]
+    metrics_fh.close()
+
+    # Summaries from the per-batch count accumulators (no TSV re-parse).
+    # A resumed run is missing the pre-crash batches in its accumulators,
+    # so it falls back to reading the (durable, truncated-exact) TSVs.
+    from ..report.writers import write_summary_counts, \
+        write_cohort_summary_counts
+    if cfg.classify.resume:
+        for sample in sorted(sample_paths):
+            path = sample_paths[sample]
+            if not os.path.exists(path):
+                continue
+            recs = read_assignments(path)
+            taxa = np.array([r.taxon for r in recs], dtype=np.int64)
+            sample_direct[sample] = np.bincount(taxa,
+                                                minlength=tax.num_taxa + 1)
+    sample_stats = {}
+    for sample in sorted(sample_direct):
+        direct = sample_direct[sample]
+        write_summary_counts(os.path.join(out_dir, f"{sample}.summary.tsv"),
+                             direct, tax)
+        sample_stats[sample] = report_stats.sample_stats(direct[1:])
+    if len(sample_direct) > 1:
+        write_cohort_summary_counts(
+            os.path.join(out_dir, "cohort.summary.tsv"), sample_direct, tax)
+    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
+        json.dump(sample_stats, fh, indent=2, sort_keys=True)
+
+    wall = time.time() - t_start
+    result = {"reads": totals["reads"], "wall_sec": round(wall, 3),
+              "reads_per_sec": round(totals["reads"] / max(wall, 1e-9), 1),
+              "pct_classified": round(100.0 * totals["classified"]
+                                      / max(totals["reads"], 1), 2),
+              "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
+              "samples": sorted(sample_direct), "fast_path": True}
+    with open(os.path.join(out_dir, "run_summary.json"), "w") as fh:
+        json.dump(result, fh, indent=2, sort_keys=True)
+    return result
+
+
 def run_classify(cfg: RunConfig, progress=True) -> dict:
     """Execute a classify run; returns run metrics."""
     import jax
@@ -167,10 +378,6 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         mcfg = choose_mesh(n_dev, max(ix.nbytes for ix in indexes), budget)
     mesh = make_mesh(mcfg)
     paired = bool(cfg.input.mates)
-    dis = [place_index(ix, mesh, cfg.classify.confidence_threshold)
-           for ix in indexes]
-    fns = [make_sharded_classify_fn(di.cfg, mesh, paired=paired)
-           for di in dis]
     bsh = batch_sharding(mesh)
 
     # Batch rows must split evenly along the data axis.
@@ -184,11 +391,29 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                              max_mismatch=cfg.demux.max_mismatch)
                  if cfg.demux.barcodes else None)
 
+    from ..io.native import native_available
+    use_fast = (native_available()
+                and not os.environ.get("PANGEA_NO_NATIVE")
+                and demux_cfg is None and _trim_is_noop(trim_cfg))
+
+    dis = [place_index(ix, mesh, cfg.classify.confidence_threshold)
+           for ix in indexes]
+    fns = [make_sharded_classify_fn(di.cfg, mesh, paired=paired,
+                                    packed_len=L if use_fast else 0)
+           for di in dis]
+
     manifest = Manifest.load_or_new(
         os.path.join(cfg.classify.out_dir, "manifest.json"),
         cfg.classify.resume)
     if cfg.classify.resume:
         manifest.truncate_outputs()
+
+    if use_fast:
+        # Steady-state hot path: packed native batches in (one combined
+        # device transfer per batch), native bulk TSV writes out, drain on
+        # a worker thread. Bit-identical outputs.
+        return _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L,
+                                  paired, manifest, progress)
 
     sinks: dict[str, _SampleSink] = {}
 
@@ -234,8 +459,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     samples = list(cfg.input.samples) if cfg.input.samples else \
         [os.path.basename(f).split(".")[0] for f in files]
 
-    from ..io.native import native_available, read_batches_native
-    use_native = native_available() and not os.environ.get("PANGEA_NO_NATIVE")
+    from ..io.native import read_batches_native
+    use_native = (native_available()
+                  and not os.environ.get("PANGEA_NO_NATIVE"))
 
     # One-deep launch/drain pipeline: while batch i computes on device, the
     # host drains batch i-1 (TSV writes) and the prefetch thread parses
@@ -299,6 +525,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 if batch.mate_quals is not None:
                     batch.mate_quals = batch.mate_quals[cut:]
                 skipped = done
+                # Record only the newly processed tail of this batch — the
+                # first `cut` reads were counted by the prior run.
+                n_in = len(batch.ids)
             t0 = time.time()
             batch = trim_batch(batch, trim_cfg)
             parts = (demux_batch(batch, demux_cfg) if demux_cfg

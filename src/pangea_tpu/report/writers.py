@@ -61,14 +61,12 @@ def read_assignments(path: str):
     return out
 
 
-def summarize(taxa: np.ndarray, taxonomy: Taxonomy):
-    """Per-taxon direct and clade counts from assigned taxa (0 allowed).
-
-    Returns (direct: int64[T+1], clade: int64[T+1]); clade[t] counts reads
-    assigned to t or any descendant (Euler-interval prefix sums)."""
+def summarize_counts(direct: np.ndarray, taxonomy: Taxonomy):
+    """Clade rollup from per-taxon direct counts (int64[T+1], index 0 =
+    unclassified). Returns (direct, clade); clade[t] counts reads assigned
+    to t or any descendant (Euler-interval prefix sums)."""
     T = taxonomy.num_taxa
-    direct = np.bincount(taxa, minlength=T + 1).astype(np.int64)
-    # clade[t] = sum of direct over tin in [tin[t], tout[t])
+    direct = np.asarray(direct, dtype=np.int64)
     by_tin = np.zeros(T + 1, dtype=np.int64)
     by_tin[taxonomy.tin[1:]] = direct[1:]
     cs = np.concatenate([[0], np.cumsum(by_tin[:T])])
@@ -78,9 +76,25 @@ def summarize(taxa: np.ndarray, taxonomy: Taxonomy):
     return direct, clade
 
 
+def summarize(taxa: np.ndarray, taxonomy: Taxonomy):
+    """Per-taxon direct and clade counts from assigned taxa (0 allowed)."""
+    direct = np.bincount(taxa, minlength=taxonomy.num_taxa + 1)
+    return summarize_counts(direct, taxonomy)
+
+
 def write_summary(path: str, taxa: np.ndarray, taxonomy: Taxonomy) -> None:
     """SEMANTICS.md §10.2 clade-rollup summary for one sample."""
-    direct, clade = summarize(np.asarray(taxa, dtype=np.int64), taxonomy)
+    direct = np.bincount(np.asarray(taxa, dtype=np.int64),
+                         minlength=taxonomy.num_taxa + 1)
+    write_summary_counts(path, direct, taxonomy)
+
+
+def write_summary_counts(path: str, direct: np.ndarray,
+                         taxonomy: Taxonomy) -> None:
+    """§10.2 summary from per-taxon direct counts (streaming-friendly: the
+    pipeline accumulates counts per drained batch instead of re-parsing
+    per-read TSVs)."""
+    direct, clade = summarize_counts(direct, taxonomy)
     total = int(direct.sum())
     with open(path, "w") as fh:
         fh.write(_summary_line(100.0 * direct[0] / total if total else 0.0,
@@ -115,10 +129,22 @@ def merge_cohort(sample_taxa: dict[str, np.ndarray], taxonomy: Taxonomy):
 
 def write_cohort_summary(path: str, sample_taxa: dict[str, np.ndarray],
                          taxonomy: Taxonomy, sample_order=None) -> None:
+    """Cohort table from per-sample assigned-taxa arrays."""
+    counts = {n: np.bincount(np.asarray(t, dtype=np.int64),
+                             minlength=taxonomy.num_taxa + 1)
+              for n, t in sample_taxa.items()}
+    write_cohort_summary_counts(path, counts, taxonomy,
+                                sample_order=sample_order)
+
+
+def write_cohort_summary_counts(path: str, sample_direct: dict,
+                                taxonomy: Taxonomy,
+                                sample_order=None) -> None:
     """Cohort table: one row per taxon (DFS order), clade counts per sample
     column; samples in given order (default: insertion order)."""
-    names = list(sample_order) if sample_order else list(sample_taxa)
-    per = merge_cohort(sample_taxa, taxonomy)
+    names = list(sample_order) if sample_order else list(sample_direct)
+    per = {n: summarize_counts(d, taxonomy)
+           for n, d in sample_direct.items()}
     with open(path, "w") as fh:
         fh.write("taxid\trank\tname\t" + "\t".join(names) + "\n")
         row0 = [str(int(per[n][0][0])) for n in names]

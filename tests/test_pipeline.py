@@ -63,7 +63,13 @@ def test_classify_paired_multik_matches_golden(testdata, tmp_path):
     assert os.path.exists(f"{out}/run_config.json")
 
 
-def test_resume_bit_safety(testdata, tmp_path):
+@pytest.mark.parametrize("native", [True, False])
+def test_resume_bit_safety(testdata, tmp_path, monkeypatch, native):
+    if not native:
+        monkeypatch.setenv("PANGEA_NO_NATIVE", "1")
+    from pangea_tpu.io.native import native_available
+    if native and not native_available():
+        pytest.skip("native io unavailable")
     d = testdata
     full = str(tmp_path / "full")
     args = ["classify", "--index", f"{d}/idx21",
@@ -71,16 +77,17 @@ def test_resume_bit_safety(testdata, tmp_path):
             "input.batch_size=64", "input.max_read_len=120"]
     assert cli.main(args + ["--out", full]) == 0
 
-    # Interrupted run: same config, but manifest rolled back to batch 2 and
-    # the assignment file torn mid-batch-3 (simulating a crash).
+    # Interrupted run: same config, but manifest rolled back MID-batch-2
+    # (100 reads: exercises the partial-batch skip arithmetic) and the
+    # assignment file torn past the durable offset (simulating a crash).
     part = str(tmp_path / "part")
     assert cli.main(args + ["--out", part]) == 0
     man = json.load(open(f"{part}/manifest.json"))
     key = f"{d}/reads_1.fastq"
-    man["files"][key] = 128                      # 2 of 5 batches durable
+    man["files"][key] = 100
     apath = f"{part}/s.assign.tsv"
     lines = open(apath).readlines()
-    durable = sum(len(l) for l in lines[:128])
+    durable = sum(len(l) for l in lines[:100])
     man["outputs"][apath] = durable
     json.dump(man, open(f"{part}/manifest.json", "w"))
     with open(apath, "r+") as fh:                # torn tail past the offset
@@ -90,6 +97,32 @@ def test_resume_bit_safety(testdata, tmp_path):
         open(f"{full}/s.assign.tsv").read()
     assert open(f"{part}/s.summary.tsv").read() == \
         open(f"{full}/s.summary.tsv").read()
+    # A second resume after completion is a no-op (counts stayed exact).
+    man2 = json.load(open(f"{part}/manifest.json"))
+    assert man2["files"][key] == 300
+    assert cli.main(args + ["--out", part, "--resume"]) == 0
+    assert open(f"{part}/s.assign.tsv").read() == \
+        open(f"{full}/s.assign.tsv").read()
+
+
+def test_fast_path_matches_python_path(testdata, tmp_path, monkeypatch):
+    from pangea_tpu.io.native import native_available
+    if not native_available():
+        pytest.skip("native io unavailable")
+    d = testdata
+    args = ["classify", "--index", f"{d}/idx21", f"{d}/idx31",
+            "--reads", f"{d}/reads_1.fastq",
+            "--mates", f"{d}/reads_2.fastq", "--samples", "m",
+            "input.batch_size=128", "input.max_read_len=120",
+            "classify.confidence_threshold=0.05"]
+    fast = str(tmp_path / "fast")
+    assert cli.main(args + ["--out", fast]) == 0
+    assert json.load(open(f"{fast}/run_summary.json")).get("fast_path")
+    slow = str(tmp_path / "slow")
+    monkeypatch.setenv("PANGEA_NO_NATIVE", "1")
+    assert cli.main(args + ["--out", slow]) == 0
+    for f in ("m.assign.tsv", "m.summary.tsv"):
+        assert open(f"{fast}/{f}").read() == open(f"{slow}/{f}").read()
 
 
 def test_demux_cohort(testdata, tmp_path):
