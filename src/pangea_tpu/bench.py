@@ -101,6 +101,83 @@ def _measure(fn, tables, d1, d2, rounds=4, reps=3):
     return step, compile_sec, out, overhead
 
 
+def run_scaling_bench(n_devices=(1, 2, 4, 8), per_device_batch=2048,
+                      read_len=150, k=21, w=8, axis="data",
+                      rounds=4) -> dict:
+    """Weak-scaling harness (SURVEY.md C23; driver target: ≥85% efficiency
+    at 2 hosts): fixed per-device batch, growing mesh, marginal-timed
+    sharded classify step. Runs on whatever backend is active — on this
+    sandbox that is the forced-multi-device CPU mesh
+    (XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu),
+    which exercises the real shard_map + psum program; on a pod slice the
+    same harness runs unchanged over ICI/DCN.
+
+    axis="data": reads scale out, index replicated (communication-free).
+    axis="shard": index hash-sharded, one psum merges disjoint hits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .classify.engine import pad_batch
+    from .dist import MeshConfig, make_mesh, place_index
+    from .dist.mesh import batch_sharding, make_sharded_classify_fn
+    from .index import build_index
+    from .utils.timing import marginal_time
+
+    tax, genomes, idx_dense, rs = make_bench_world(n_reads=20_000,
+                                                   read_len=read_len)
+    idx = build_index(genomes, tax, k=k, w=w)
+    results = []
+    base = None
+    for n in n_devices:
+        if n > len(jax.devices()):
+            break
+        mcfg = (MeshConfig(n_data=n, n_shard=1) if axis == "data"
+                else MeshConfig(n_data=1, n_shard=n))
+        mesh = make_mesh(mcfg, devices=jax.devices()[:n])
+        di = place_index(idx, mesh, 0.0)
+        fn = make_sharded_classify_fn(di.cfg, mesh, paired=True)
+        B = per_device_batch * (n if axis == "data" else 1)
+        reps = (B + len(rs.seqs) - 1) // len(rs.seqs)
+        b1 = pad_batch((rs.seqs * reps)[:B], B, read_len)
+        b2 = pad_batch((rs.mates * reps)[:B], B, read_len)
+        sh = batch_sharding(mesh)
+        d1 = jax.device_put(b1, sh)
+        d2 = jax.device_put(b2, sh)
+
+        def make_loop(r, fn=fn, tables=di.tables):
+            def run(state):
+                def body(_, st):
+                    x, y = st
+                    out = fn(tables, x, y)
+                    s = out["best"][0] % jnp.int32(7) + jnp.int32(1)
+                    return (jnp.roll(x, s, axis=0), jnp.roll(y, s, axis=0))
+                return jax.lax.fori_loop(0, r, body, state)
+            return run
+
+        step, _ = marginal_time(make_loop, (d1, d2), r=rounds)
+        rps = B / step
+        if base is None:
+            base = rps / n if axis == "data" else rps
+        eff = (rps / (base * n)) if axis == "data" else (rps / base)
+        results.append({"devices": n, "batch": B,
+                        "step_ms": round(step * 1e3, 3),
+                        "reads_per_sec": round(rps, 1),
+                        "weak_scaling_eff" if axis == "data" else
+                        "speedup_vs_1": round(eff, 4)})
+    kind = str(jax.devices()[0].device_kind
+               if hasattr(jax.devices()[0], "device_kind")
+               else jax.devices()[0])
+    out = {"axis": axis, "per_device_batch": per_device_batch,
+           "device_kind": kind, "points": results}
+    if kind == "cpu":
+        out["note"] = ("forced-host devices share one physical CPU — this "
+                       "run validates the shard_map/psum program and the "
+                       "harness, not hardware scaling; efficiency numbers "
+                       "are only meaningful on a real multi-chip slice")
+    return out
+
+
 def run_bench(config_path=None, overrides=(), n_reads=100_000,
               batch=16_384, read_len=150, rounds=4,
               minimizer_w=8, with_dense=True) -> dict:

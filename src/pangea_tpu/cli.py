@@ -87,6 +87,9 @@ def main(argv=None) -> int:
 
     be = sub.add_parser("bench", help="run the benchmark harness")
     be.add_argument("--config", default=None)
+    be.add_argument("--scaling", action="store_true",
+                    help="weak-scaling sweep over the available devices")
+    be.add_argument("--axis", choices=["data", "shard"], default="data")
     be.add_argument("overrides", nargs="*")
 
     args = p.parse_args(argv)
@@ -186,8 +189,12 @@ def _cmd_gen(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    from .bench import run_bench
-    line = run_bench(config_path=args.config, overrides=args.overrides)
+    if args.scaling:
+        from .bench import run_scaling_bench
+        line = run_scaling_bench(axis=args.axis)
+    else:
+        from .bench import run_bench
+        line = run_bench(config_path=args.config, overrides=args.overrides)
     print(json.dumps(line, sort_keys=True))
     return 0
 
