@@ -41,6 +41,30 @@ def test_extract_kmers_matches_numpy(k):
         np.testing.assert_array_equal(got[v], canon[v])
 
 
+@pytest.mark.parametrize("k", [5, 21, 31])
+def test_extract_packed_matches_unpacked(k):
+    """The packed wire format (native transport) must decode to exactly the
+    int8-path outputs. Packing here replicates pangea_io.cpp's layout in
+    numpy (the C++ packer itself is tested in test_io_native.py)."""
+    from pangea_tpu.kernels.encode import extract_kmers_packed_jnp
+    rng = np.random.default_rng(7)
+    B, L = 8, 100
+    bases = _codes_batch(rng, B, L)
+    w16, w32 = (L + 15) // 16, (L + 31) // 32
+    rows = np.zeros((B, w16 + w32), dtype=np.uint32)
+    for b in range(B):
+        for j in range(L):
+            c = int(bases[b, j])
+            rows[b, j >> 4] |= (c & 3) << (2 * (j & 15))
+            if c > 3:
+                rows[b, w16 + (j >> 5)] |= 1 << (j & 31)
+    want = jax.jit(extract_kmers_jnp, static_argnums=1)(bases, k)
+    got = jax.jit(extract_kmers_packed_jnp,
+                  static_argnums=(1, 2))(rows, L, k)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_hash_matches_numpy():
     rng = np.random.default_rng(1)
     canon = rng.integers(0, 1 << 62, size=1000).astype(np.uint64)
