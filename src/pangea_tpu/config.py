@@ -48,12 +48,27 @@ class MeshCfg:
 
 
 @dataclass
+class DistCfg:
+    """Multi-process (multi-host) bring-up (SURVEY.md §3.4, §4.3).
+
+    num_processes > 1 makes run_classify call jax.distributed.initialize
+    before touching any device: every process must run the same CLI with
+    the same config except process_id (or leave process_id -1 to take it
+    from the launcher's JAX env). The mesh then spans all processes'
+    devices; collectives ride ICI within a host and DCN across hosts."""
+    coordinator: str = ""       # "host:port" of process 0
+    num_processes: int = 1
+    process_id: int = -1        # -1 = let jax.distributed auto-detect
+
+
+@dataclass
 class RunConfig:
     input: InputCfg = field(default_factory=InputCfg)
     classify: ClassifyCfg = field(default_factory=ClassifyCfg)
     mesh: MeshCfg = field(default_factory=MeshCfg)
     trim: TrimCfg = field(default_factory=TrimCfg)
     demux: DemuxCfg = field(default_factory=DemuxCfg)
+    dist: DistCfg = field(default_factory=DistCfg)
 
 
 def _from_dict(cls, d: dict):
@@ -69,7 +84,7 @@ def _from_dict(cls, d: dict):
 
 
 _NESTED = {"input": InputCfg, "classify": ClassifyCfg, "mesh": MeshCfg,
-           "trim": TrimCfg, "demux": DemuxCfg}
+           "trim": TrimCfg, "demux": DemuxCfg, "dist": DistCfg}
 
 
 def load_config(path: str | None = None, overrides=()) -> RunConfig:

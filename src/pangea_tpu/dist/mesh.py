@@ -43,11 +43,17 @@ class MeshConfig:
 def initialize_multihost(coordinator: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> None:
-    """Multi-process (DCN) rendezvous. No-op for single-process runs."""
-    if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    """Multi-process (DCN) rendezvous. No-op for single-process runs and
+    idempotent (safe to call when the launcher already initialized)."""
+    if not num_processes or num_processes <= 1:
+        return
+    if jax.distributed.is_initialized():   # launcher already did it
+        return
+    kwargs = {"coordinator_address": coordinator or None,
+              "num_processes": num_processes}
+    if process_id is not None and process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def choose_mesh(n_devices: int, index_bytes: int,
@@ -94,12 +100,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
-                             paired: bool = False, packed_len: int = 0):
+                             paired: bool = False, packed_len: int = 0,
+                             replicate_out: bool = False):
     """The distributed classify step: shard_map over (data, shard) with one
     psum merging the disjoint per-position hit arrays (SEMANTICS.md §5.1,
     §11) before scoring. Returns fn(tables, bases[, mate_bases]) -> dict of
     int32 [B] outputs (replicated along shard, sharded along data). With
-    packed_len=L the batch inputs are packed wire rows (engine docs)."""
+    packed_len=L the batch inputs are packed wire rows (engine docs).
+
+    replicate_out=True adds one all_gather over the data axis so outputs
+    are fully replicated — required in multi-process runs, where only
+    fully-replicated arrays can be fetched by every host (the [B] int32
+    triples are tiny, so the gather is noise next to the lookup)."""
     from jax import shard_map
 
     def local_step(tables, bases, mate_bases):
@@ -114,16 +126,21 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
         # nonzero (taxon, t_in, t_out) — disjoint supports sum exactly
         # (ICI all-reduce; SEMANTICS.md §11).
         hits = jax.lax.psum(hits, SHARD_AXIS)
-        return score_reads_jnp(hits, nvalid, tables["tax"],
-                               cfg.confidence_threshold)
+        out = score_reads_jnp(hits, nvalid, tables["tax"],
+                              cfg.confidence_threshold)
+        if replicate_out:
+            out = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, DATA_AXIS, axis=0,
+                                             tiled=True), out)
+        return out
 
     tab_specs = {"fused": P(SHARD_AXIS, None, None),
                  "stash": P(SHARD_AXIS, None, None),
                  "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
                                                      "parent": 0, "depth": 0,
                                                      "up": 0})}
-    out_spec = {"taxon": P(DATA_AXIS), "best": P(DATA_AXIS),
-                "nvalid": P(DATA_AXIS)}
+    row = P() if replicate_out else P(DATA_AXIS)
+    out_spec = {"taxon": row, "best": row, "nvalid": row}
 
     if paired:
         fn = shard_map(local_step, mesh=mesh,

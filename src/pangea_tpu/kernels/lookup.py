@@ -19,8 +19,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_GOLD = jnp.uint32(0x9E3779B9)
-_EMPTY_HI = jnp.uint32(0xFFFFFFFF)
+import numpy as _np
+
+# numpy scalars, NOT jnp: module-level jnp constants would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize (which
+# must run before any backend touch in multi-process runs).
+_GOLD = _np.uint32(0x9E3779B9)
+_EMPTY_HI = _np.uint32(0xFFFFFFFF)
 
 
 def mix32_jnp(v):

@@ -3,9 +3,17 @@
 Implements SEMANTICS.md §7 with TPU-shaped math: the taxonomy is dense
 int32 arrays (Euler tin/tout), so
 
-- "hits vote for their subtree" becomes a [B, P, P] interval-containment
-  matrix on the VPU (two compares per pair) — no per-node structs, no
-  sorting, no per-read hash maps;
+- "hits vote for their subtree" is counting, for each hit position i, how
+  many hit intervals contain tin_i. Euler intervals are laminar, so
+  containment decomposes into two rank queries:
+      pscore(i) = #{hit j : tin_j <= tin_i} - #{hit j : tout_j <= tin_i}
+  (tout_j <= tin_i implies tin_j <= tin_i, so the difference counts
+  exactly the intervals with tin_j <= tin_i < tout_j). Per read that is
+  two sorts + two sorted-rank lookups — O(P log P) — instead of the
+  [B, P, P] containment matrix (O(P^2)), which at the dense (w=1) parity
+  configuration (P≈260 paired) built a 1e9-element boolean intermediate
+  per 16k batch and ran 20x slower than the w=8 headline. The quadratic
+  form is kept for tiny P where it wins (pure VPU compares, no sort);
 - the tally + argmax over the tree collapses to a row max over hit
   positions (the maximizer of the path score is always attained at a hit
   taxon);
@@ -23,11 +31,57 @@ Bit-exactness contract: identical to `pangea_tpu.golden._score_hits`.
 """
 from __future__ import annotations
 
+import os
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
-_I32_MAX = jnp.int32(2**31 - 1)
+import numpy as _np
+
+# numpy scalar, NOT jnp (module-level jnp constants would initialize the
+# XLA backend at import time — see kernels/lookup.py).
+_I32_MAX = _np.int32(2**31 - 1)
 # Direct [B, T+1] LCA scan below this taxonomy size; binary lifting above.
 _DIRECT_LCA_MAX_TAXA = 4096
+# Auto pscore rule (measured on TPU v5e 2026-08-20, experiments/mb_score.py
+# — see docs/DESIGN.md): the quadratic [B, P, P] form fuses on the VPU at
+# ~500 G-compares/s (2.2 ms at B=16384, P=260) while the sort-rank form
+# pays lax.sort's price (156 ms at the same shape — TPU sorts are slow), so
+# quadratic wins everywhere its B·P² intermediate stays addressable.
+# Sort-rank exists for the long-read buckets, where P reaches 10^4+ and the
+# quadratic's B·P² work/memory explodes.
+_QUAD_PSCORE_MAX_ELEMS = 2**31
+
+
+def _pscore_quadratic(t_in, t_out, hit):
+    """[B, P, P] interval-containment matrix (original form): anc[b, j, i]
+    = hit_j and is_ancestor_or_self(t_j, t_i). O(P^2) but gather/sort-free
+    — fastest for tiny P."""
+    anc = (t_in[:, :, None] <= t_in[:, None, :]) & \
+          (t_in[:, None, :] < t_out[:, :, None]) & hit[:, :, None]
+    return jnp.sum(anc.astype(jnp.int32), axis=1)              # [B, P]
+
+
+def _pscore_ranked(t_in, t_out, hit):
+    """O(P log P) pscore via sorted-rank counting (see module docstring).
+    Misses are masked to the +inf sentinel so they rank after every real
+    tin (tin values are < 2^31 - 1). Bit-exact: integer counts only."""
+    tin_h = jnp.where(hit, t_in, _I32_MAX)
+    tout_h = jnp.where(hit, t_out, _I32_MAX)
+    tin_s = jax.lax.sort(tin_h, dimension=1)
+    tout_s = jax.lax.sort(tout_h, dimension=1)
+    rank = jax.vmap(partial(jnp.searchsorted, side="right", method="sort"))
+    return (rank(tin_s, t_in) - rank(tout_s, t_in)).astype(jnp.int32)
+
+
+def _pscore(t_in, t_out, hit):
+    impl = os.environ.get("PANGEA_PSCORE", "auto")
+    B, P = t_in.shape
+    if impl == "quad" or (impl == "auto"
+                          and B * P * P <= _QUAD_PSCORE_MAX_ELEMS):
+        return _pscore_quadratic(t_in, t_out, hit)
+    return _pscore_ranked(t_in, t_out, hit)
 
 
 def lca_pairs_jnp(u, v, parent, depth, up):
@@ -92,11 +146,7 @@ def score_reads_jnp(hits, nvalid, tax_arrays, confidence_threshold):
     """
     taxon, t_in, t_out = hits
     hit = taxon != 0
-    # anc[b, j, i] = hit_j and is_ancestor_or_self(t_j, t_i)
-    anc = (t_in[:, :, None] <= t_in[:, None, :]) & \
-          (t_in[:, None, :] < t_out[:, :, None]) & hit[:, :, None]
-    pscore = jnp.sum(anc.astype(jnp.int32), axis=1)          # [B, P]
-    pscore = jnp.where(hit, pscore, jnp.int32(0))
+    pscore = jnp.where(hit, _pscore(t_in, t_out, hit), jnp.int32(0))
     best = jnp.max(pscore, axis=1)                            # [B]
     winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
     # LCA of winners = LCA(min-tin winner, max-tin winner). Extract the two

@@ -117,11 +117,18 @@ class _SampleSink:
     """Per-sample assignment writer with durable-offset tracking."""
 
     def __init__(self, out_dir: str, sample: str, taxonomy: Taxonomy,
-                 resume: bool):
+                 resume: bool, manifest: Manifest | None = None):
         self.path = os.path.join(out_dir, f"{sample}.assign.tsv")
         self.sample = sample
         self.taxonomy = taxonomy
-        mode = "a" if resume and os.path.exists(self.path) else "w"
+        # Append on resume ONLY if the manifest durably recorded this file:
+        # a crash before the first manifest write leaves an output file with
+        # no durable record — its content must be discarded, not appended to
+        # (the pre-r2 append-if-exists rule duplicated reads in that window).
+        recorded = manifest is not None and \
+            self.path in manifest.state["outputs"]
+        mode = "a" if resume and recorded and os.path.exists(self.path) \
+            else "w"
         self.fh = open(self.path, mode)
 
     def write(self, records) -> None:
@@ -143,7 +150,7 @@ def _trim_is_noop(t: TrimConfig) -> bool:
 
 
 def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
-                       manifest, progress) -> dict:
+                       manifest, progress, proc0=True) -> dict:
     """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
     counterpart of the reference C binary's parse→classify→printf loop):
 
@@ -164,7 +171,8 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
 
     out_dir = cfg.classify.out_dir
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
-    metrics_fh = open(metrics_path, "a" if cfg.classify.resume else "w")
+    metrics_fh = open(metrics_path if proc0 else os.devnull,
+                      "a" if cfg.classify.resume else "w")
     totals = {"reads": 0, "classified": 0, "batches": 0}
     t_start = time.time()
     files = list(cfg.input.reads)
@@ -184,7 +192,7 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     pend = {"fpath": None, "reads": 0, "path": None, "off": 0, "k": 0}
 
     def flush_durability():
-        if not pend["reads"]:
+        if not pend["reads"] or not proc0:
             return
         fd = os.open(pend["path"], os.O_RDONLY)
         try:
@@ -211,7 +219,14 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 path = sample_paths[item["sample"]]
                 cut = item["write_from"]
                 n = item["n"]
-                append = path in appended or cfg.classify.resume
+                if not proc0:   # non-0 processes only sync, never write
+                    continue
+                # Resume appends ONLY to manifest-recorded outputs (see
+                # _SampleSink): unrecorded files are pre-first-checkpoint
+                # garbage and get overwritten.
+                append = path in appended or (
+                    cfg.classify.resume
+                    and path in manifest.state["outputs"])
                 off = write_assignments_native(
                     path, append,
                     item["ids_raw"][cut * _ID_STRIDE:], _ID_STRIDE,
@@ -290,7 +305,7 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 write_from = max(done - seen, 0)
                 seen += n
                 t0 = time.time()
-                combo = jax.device_put(rows, bsh)
+                combo = _put_batch(rows, bsh)
                 dev_b = combo[:, :stride] if paired else combo
                 dev_m = combo[:, stride:] if paired else None
                 outs = []
@@ -316,6 +331,10 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     # so it falls back to reading the (durable, truncated-exact) TSVs.
     from ..report.writers import write_summary_counts, \
         write_cohort_summary_counts
+    if not proc0:
+        return {"reads": 0, "process_index": jax.process_index(),
+                "fast_path": True,
+                "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard}}
     if cfg.classify.resume:
         for sample in sorted(sample_paths):
             path = sample_paths[sample]
@@ -349,16 +368,43 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     return result
 
 
+def _put_batch(rows: np.ndarray, bsh):
+    """Host batch -> global device array. Single-process: one device_put.
+    Multi-process: every process parses the same input (deterministic batch
+    boundaries keep the manifest identical everywhere) and contributes the
+    slices its addressable devices own via make_array_from_callback."""
+    import jax
+    if jax.process_count() == 1:
+        return jax.device_put(rows, bsh)
+    return jax.make_array_from_callback(rows.shape, bsh,
+                                        lambda idx: rows[idx])
+
+
 def run_classify(cfg: RunConfig, progress=True) -> dict:
-    """Execute a classify run; returns run metrics."""
+    """Execute a classify run; returns run metrics.
+
+    Multi-process (multi-host) runs: set cfg.dist (coordinator,
+    num_processes, process_id) identically on every process except
+    process_id. The mesh then spans all hosts' devices; the index shards
+    across them; every process streams the same batches (contributing its
+    addressable slices) and executes the same device steps; only process 0
+    writes reports, metrics, and the manifest. Outputs are replicated via
+    one all_gather so any process could read them (SURVEY.md §3.4)."""
     import jax
 
-    from ..dist import (MeshConfig, choose_mesh, make_mesh, place_index,
-                        make_sharded_classify_fn)
+    from ..dist import (MeshConfig, choose_mesh, initialize_multihost,
+                        make_mesh, place_index, make_sharded_classify_fn)
     from ..dist.mesh import batch_sharding
 
+    initialize_multihost(cfg.dist.coordinator, cfg.dist.num_processes,
+                         cfg.dist.process_id)
+    nproc = jax.process_count()
+    proc0 = jax.process_index() == 0
+
     os.makedirs(cfg.classify.out_dir, exist_ok=True)
-    dump_config(cfg, os.path.join(cfg.classify.out_dir, "run_config.json"))
+    if proc0:
+        dump_config(cfg, os.path.join(cfg.classify.out_dir,
+                                      "run_config.json"))
 
     indexes = [Index.load(p) for p in cfg.classify.index]
     if not indexes:
@@ -399,13 +445,14 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     dis = [place_index(ix, mesh, cfg.classify.confidence_threshold)
            for ix in indexes]
     fns = [make_sharded_classify_fn(di.cfg, mesh, paired=paired,
-                                    packed_len=L if use_fast else 0)
+                                    packed_len=L if use_fast else 0,
+                                    replicate_out=nproc > 1)
            for di in dis]
 
     manifest = Manifest.load_or_new(
         os.path.join(cfg.classify.out_dir, "manifest.json"),
         cfg.classify.resume)
-    if cfg.classify.resume:
+    if cfg.classify.resume and proc0:
         manifest.truncate_outputs()
 
     if use_fast:
@@ -413,18 +460,19 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         # device transfer per batch), native bulk TSV writes out, drain on
         # a worker thread. Bit-identical outputs.
         return _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L,
-                                  paired, manifest, progress)
+                                  paired, manifest, progress, proc0=proc0)
 
     sinks: dict[str, _SampleSink] = {}
 
     def sink_for(sample: str) -> _SampleSink:
         if sample not in sinks:
             sinks[sample] = _SampleSink(cfg.classify.out_dir, sample, tax,
-                                        cfg.classify.resume)
+                                        cfg.classify.resume, manifest)
         return sinks[sample]
 
     metrics_path = os.path.join(cfg.classify.out_dir, "metrics.jsonl")
-    metrics_fh = open(metrics_path, "a" if cfg.classify.resume else "w")
+    metrics_fh = open(metrics_path if proc0 else os.devnull,
+                      "a" if cfg.classify.resume else "w")
     totals = {"reads": 0, "classified": 0, "batches": 0}
     t_start = time.time()
 
@@ -438,8 +486,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     def classify_launch(bases, mates):
         """Dispatch the device step(s); returns LAZY device outputs so the
         host can overlap parse/drain with compute (one-deep pipeline)."""
-        dev_b = jax.device_put(bases, bsh)
-        dev_m = jax.device_put(mates, bsh) if paired else None
+        dev_b = _put_batch(bases, bsh)
+        dev_m = _put_batch(mates, bsh) if paired else None
         outs = []
         for fn in fns:
             o = fn(dis[len(outs)].tables, dev_b, dev_m) if paired else \
@@ -475,6 +523,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         t_drain0 = time.time()
         for sample, ids_part, outs in item["parts"]:
             res = classify_resolve(outs)
+            if not proc0:       # non-0 processes only sync, never write
+                continue
             recs = [AssignmentRecord(ids_part[i], int(res["taxon"][i]),
                                      int(res["best"][i]),
                                      int(res["nvalid"][i]))
@@ -483,6 +533,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             sk = sink_for(sample)
             sk.write(recs)
             offsets[sk.path] = sk.offset()
+        if not proc0:
+            return
         manifest.record_batch(item["fpath"], item["n_in"], offsets)
         dt = time.time() - item["t0"]
         totals["reads"] += item["n_in"]
@@ -559,6 +611,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     for sk in sinks.values():
         sk.close()
     metrics_fh.close()
+    if not proc0:
+        return {"reads": 0, "process_index": jax.process_index(),
+                "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard}}
 
     # Summaries from the durable TSVs (resume-safe by construction).
     sample_taxa = {}

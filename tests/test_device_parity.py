@@ -127,6 +127,22 @@ def test_classify_bit_exact_vs_golden(world, threshold):
     np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
 
 
+@pytest.mark.parametrize("impl", ["quad", "rank"])
+def test_pscore_impls_bit_exact(world, impl, monkeypatch):
+    """Both pscore implementations (quadratic containment matrix and
+    sort-rank counting — kernels/score.py) must match golden exactly."""
+    monkeypatch.setenv("PANGEA_PSCORE", impl)
+    tax, _, idx, rs = world
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.3)
+    fn = make_classify_fn(di.cfg)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs, idx, 0.3)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
 def test_classify_paired_bit_exact(world):
     tax, genomes, idx, _ = world
     from pangea_tpu.utils import datagen

@@ -35,11 +35,12 @@ def _classify_args(d, out):
             "--out", out, "input.batch_size=64", "input.max_read_len=120"]
 
 
-def _spawn(d, out, resume=False):
+def _spawn(d, out, resume=False, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.join(REPO, "src")
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # no axon registration via .pth
+    env.update(extra_env or {})
     args = _classify_args(d, out) + (["--resume"] if resume else [])
     return subprocess.Popen(
         [sys.executable, "-m", "pangea_tpu.cli"] + args,
@@ -82,17 +83,46 @@ def test_sigkill_mid_run_resume_identical(testdata, tmp_path):
         open(f"{full}/s.summary.tsv").read()
 
 
-@pytest.mark.skipif(not os.environ.get("PANGEA_TEST_DCN"),
-                    reason="set PANGEA_TEST_DCN=1 to run the 2-process "
-                           "jax.distributed smoke test")
+def test_crash_before_first_checkpoint_resume_identical(testdata, tmp_path):
+    """Crash window BEFORE the first manifest flush: the dead run left
+    assignment bytes on disk but NO manifest — those bytes have no durable
+    record and resume must OVERWRITE them, not append (r2 fix — the r1
+    rule 'append-if-exists' duplicated every pre-crash read in this
+    window). Deterministic: the crash state is constructed directly (a
+    torn partial output file, no manifest.json) instead of racing a
+    SIGKILL against the drain thread."""
+    import shutil
+
+    from pangea_tpu import cli
+    d = testdata
+    full = str(tmp_path / "full")
+    assert cli.main(_classify_args(d, full)) == 0
+
+    out = str(tmp_path / "crashed")
+    os.makedirs(out)
+    whole = open(f"{full}/s.assign.tsv", "rb").read()
+    with open(f"{out}/s.assign.tsv", "wb") as fh:
+        fh.write(whole[:len(whole) // 3 + 7])   # torn mid-line, pre-manifest
+    shutil.copy(f"{full}/run_config.json", out)
+    assert not os.path.exists(f"{out}/manifest.json")
+
+    assert cli.main(_classify_args(d, out) + ["--resume"]) == 0
+    assert open(f"{out}/s.assign.tsv").read() == \
+        open(f"{full}/s.assign.tsv").read()
+    assert open(f"{out}/s.summary.tsv").read() == \
+        open(f"{full}/s.summary.tsv").read()
+
+
 def test_two_process_dcn_smoke(tmp_path):
     """Bring up jax.distributed across 2 local processes (CPU backend,
-    localhost TCP = the DCN stand-in) and psum across them."""
+    localhost TCP = the DCN stand-in) and psum across them. Default-on
+    since r2 (VERDICT r1 weak #6); the full-pipeline version lives in
+    test_multiproc.py."""
     script = r"""
 import os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address="127.0.0.1:17811",
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + sys.argv[2],
                            num_processes=2,
                            process_id=int(sys.argv[1]))
 import jax.numpy as jnp
@@ -109,10 +139,15 @@ want = x.sum(axis=0)
 assert (got == want).all(), (got, want)
 print("proc", sys.argv[1], "psum ok")
 """
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.join(REPO, "src")
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
-                              env=env) for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(i), str(port)], env=env)
+        for i in range(2)]
     for p in procs:
         assert p.wait(timeout=300) == 0
