@@ -124,7 +124,9 @@ inline void encode_row(const char* seq, size_t n, size_t max_len,
   for (size_t i = 0; i < m; ++i)
     row[i] = (int8_t)kLut.enc[(unsigned char)seq[i]];
   if (m < max_len) std::memset(row + m, kPad, max_len - m);
-  *len_out = (int32_t)m;
+  // Report the TRUE (pre-truncation) length so callers can detect and
+  // warn about overlong reads; the row itself holds min(n, max_len) bases.
+  *len_out = (int32_t)n;
 }
 
 inline void copy_id(const char* s, size_t n, char* dst, long stride) {
@@ -163,7 +165,7 @@ const char* pangea_fastx_error(void* h) {
 
 // Parse up to max_reads records into a padded batch.
 //   codes: int8 [max_reads, max_len]  (row-padded with 4)
-//   lens:  int32 [max_reads]          (post-truncation lengths)
+//   lens:  int32 [max_reads]          (TRUE pre-truncation lengths)
 //   quals: uint8 [max_reads, max_len] or NULL (phred+33 decoded, 0-padded)
 //   ids:   char  [max_reads, id_stride] NUL-terminated first tokens
 // Returns records parsed (0 = EOF), or -1 on malformed input / IO error.
@@ -282,7 +284,7 @@ long pangea_fastx_next_batch_packed(void* h, long max_reads, long max_len,
       wp[j >> 4] |= (uint32_t)(c & 3) << (2 * (j & 15));
       if (c <= 3) bp[j >> 5] &= ~(1u << (j & 31));
     }
-    lens[i] = (int32_t)m;
+    lens[i] = (int32_t)len;  // TRUE length (overlong detection upstream)
   };
 
   if (r->format == 2) {  // FASTQ

@@ -136,7 +136,10 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
 
 def pad_batch(seqs, batch: int, length: int) -> np.ndarray:
     """Host-side: list of uint8 code arrays → int8 [batch, length] (pad=4).
-    Reads longer than `length` are truncated (callers bucket by length)."""
+    Reads longer than `length` are truncated — the pipeline buckets long
+    reads into power-of-two length classes before calling this
+    (pipeline.run launch_bucketed), so truncation only happens past
+    input.max_long_read_len and is counted + warned there."""
     out = np.full((batch, length), 4, dtype=np.int8)
     for i, s in enumerate(seqs[:batch]):
         n = min(len(s), length)

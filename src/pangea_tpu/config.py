@@ -30,6 +30,14 @@ class InputCfg:
     samples: list = field(default_factory=list)      # per-file sample names
     batch_size: int = 4096
     max_read_len: int = 256
+    # Long-read handling: reads longer than max_read_len classify EXACTLY
+    # through power-of-two length buckets (max_read_len * 2^j) up to
+    # max_long_read_len; anything longer is truncated WITH a warning.
+    # long_reads=True forces the general (bucketing) path even when the
+    # native fast path would apply; the fast path itself truncates at
+    # max_read_len and reports a truncated_reads count + warning.
+    long_reads: bool = False
+    max_long_read_len: int = 16384
 
 
 @dataclass

@@ -113,7 +113,9 @@ class NativeFastxReader:
     def next_batch_raw(self):
         """Zero-Python-objects batch: returns (n, ids_raw: bytes
         [B*_ID_STRIDE], codes int8 [B,L], lens int32 [B], quals | None) or
-        None at EOF. Rows ≥ n are uninitialized."""
+        None at EOF. Rows ≥ n are uninitialized. lens carry the TRUE
+        pre-truncation read lengths (may exceed max_len — rows hold the
+        first max_len bases); callers clamp when slicing."""
         B, L = self.batch_size, self.max_len
         codes = np.empty((B, L), dtype=np.int8)
         lens = np.empty(B, dtype=np.int32)
@@ -135,9 +137,10 @@ class NativeFastxReader:
 
     def next_batch_packed(self):
         """Wire-format batch (pangea_io.cpp packed layout): returns
-        (n, ids_raw: bytes, rows uint32 [B, W16+W32]) or None at EOF.
-        2-bit codes + bad bitmask — 60 B per 150 bp read, ready to ship to
-        the device as ONE array."""
+        (n, ids_raw: bytes, rows uint32 [B, W16+W32], lens int32 [B]) or
+        None at EOF. 2-bit codes + bad bitmask — 60 B per 150 bp read,
+        ready to ship to the device as ONE array. lens are TRUE
+        pre-truncation lengths (overlong reads: lens > max_len)."""
         B, L = self.batch_size, self.max_len
         stride = (L + 15) // 16 + (L + 31) // 32
         rows = np.empty((B, stride), dtype=np.uint32)
@@ -153,7 +156,7 @@ class NativeFastxReader:
             raise ValueError(f"{self.path}: {err}")
         if n == 0:
             return None
-        return n, ids.raw, rows
+        return n, ids.raw, rows, lens
 
     def next_batch(self):
         """Returns (ids: list[str], codes int8 [n,L], lens int32 [n],
@@ -266,6 +269,10 @@ def read_batches_native(path: str, batch_size: int, max_len: int,
                 _, mcodes, mlens, mquals = b2
             ids = [i[:-2] if i.endswith(("/1", "/2")) else i for i in ids]
             n = len(ids)
+            # lens are TRUE lengths; numpy slicing clips at max_len, so
+            # seqs hold the (possibly truncated) stored bases. Exact
+            # long-read classification uses the numpy reader instead
+            # (pipeline gates on cfg.input.long_reads).
             batch = ReadBatch(
                 ids=ids,
                 seqs=[codes[i, :lens[i]].view(np.uint8) for i in range(n)],

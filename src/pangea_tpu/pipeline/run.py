@@ -275,6 +275,7 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     drainer.start()
 
     stride = (L + 15) // 16 + (L + 31) // 32   # packed wire row width
+    truncated = 0
     for fpath, mpath, fsample in zip(files, mates, samples):
         sample_paths[fsample] = os.path.join(out_dir,
                                              f"{fsample}.assign.tsv")
@@ -290,12 +291,14 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 b1 = r1.next_batch_packed()
                 if b1 is None:
                     break
-                n, ids_raw, rows = b1
+                n, ids_raw, rows, lens1 = b1
+                truncated += int((lens1[:n] > L).sum())
                 if r2 is not None:
                     b2 = r2.next_batch_packed()
                     if b2 is None or b2[0] != n:
                         raise ValueError(f"{mpath}: record count mismatch "
                                          f"with {fpath}")
+                    truncated += int((b2[3][:n] > L).sum())
                     # ONE combined host→device transfer per batch — the
                     # link charges a large fixed cost per transfer.
                     rows = np.concatenate([rows, b2[2]], axis=1)
@@ -356,13 +359,20 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(sample_stats, fh, indent=2, sort_keys=True)
 
+    if truncated:
+        print(f"[classify] WARNING: {truncated} reads exceeded "
+              f"input.max_read_len={L} and were truncated on the fast "
+              f"path. For exact long-read classification set "
+              f"input.long_reads=true (general path, length-bucketed) or "
+              f"raise input.max_read_len.", file=sys.stderr)
     wall = time.time() - t_start
     result = {"reads": totals["reads"], "wall_sec": round(wall, 3),
               "reads_per_sec": round(totals["reads"] / max(wall, 1e-9), 1),
               "pct_classified": round(100.0 * totals["classified"]
                                       / max(totals["reads"], 1), 2),
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
-              "samples": sorted(sample_direct), "fast_path": True}
+              "samples": sorted(sample_direct), "fast_path": True,
+              "truncated_reads": truncated}
     with open(os.path.join(out_dir, "run_summary.json"), "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
     return result
@@ -440,7 +450,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     from ..io.native import native_available
     use_fast = (native_available()
                 and not os.environ.get("PANGEA_NO_NATIVE")
-                and demux_cfg is None and _trim_is_noop(trim_cfg))
+                and demux_cfg is None and _trim_is_noop(trim_cfg)
+                and not cfg.input.long_reads)
 
     dis = [place_index(ix, mesh, cfg.classify.confidence_threshold)
            for ix in indexes]
@@ -502,14 +513,80 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             res = merge_multik_np(res, o2, tax)
         return res
 
+    # Long-read length bucketing (SURVEY.md §8.4.5; VERDICT r1 #7): reads
+    # longer than L classify EXACTLY through power-of-two length buckets
+    # L*2^j (one extra jit compile per distinct bucket, shapes fixed), up
+    # to max_long_read_len; longer still are truncated WITH a warning.
+    LB = max(64, mcfg.n_data)              # fixed long-bucket batch rows
+    max_long = max(cfg.input.max_long_read_len, L)
+    trunc_count = [0]
+
+    def launch_bucketed(part):
+        """part -> list of (orig_indices | None, launched_outs). None =
+        the chunk covers the whole part in order (the steady-state case:
+        everything fits the base [B, L] shape)."""
+        seqs = part.seqs
+        msq = part.mate_seqs if paired else None
+        n = len(part)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+        if paired:
+            lens = np.maximum(lens,
+                              np.fromiter((len(s) for s in msq),
+                                          np.int64, n))
+        if n == 0 or int(lens.max(initial=0)) <= L:
+            bases = part.padded if part.padded is not None \
+                and part.padded.shape == (B, L) else pad_batch(seqs, B, L)
+            mb = (part.mate_padded if part.mate_padded is not None
+                  and part.mate_padded.shape == (B, L)
+                  else pad_batch(msq, B, L)) if paired else None
+            return [(None, classify_launch(bases, mb))]
+        chunks = []
+        short = np.flatnonzero(lens <= L)
+        if short.size:
+            bases = pad_batch([seqs[i] for i in short], B, L)
+            mb = pad_batch([msq[i] for i in short], B, L) if paired \
+                else None
+            chunks.append((short, classify_launch(bases, mb)))
+        longs = np.flatnonzero(lens > L)
+        trunc_count[0] += int((lens[longs] > max_long).sum())
+        # bucket length for each long read: smallest L*2^j >= len, capped.
+        bl = np.minimum(
+            L * (1 << np.ceil(np.log2(lens[longs] / L)).astype(np.int64)),
+            max_long)
+        for Lj in np.unique(bl):
+            idxs = longs[bl == Lj]
+            for off in range(0, idxs.size, LB):
+                sub = idxs[off:off + LB]
+                bases = pad_batch([seqs[i] for i in sub], LB, int(Lj))
+                mb = pad_batch([msq[i] for i in sub], LB, int(Lj)) \
+                    if paired else None
+                chunks.append((sub, classify_launch(bases, mb)))
+        return chunks
+
+    def resolve_part(ids_part, chunks):
+        """Reassemble per-chunk device outputs into input order."""
+        if len(chunks) == 1 and chunks[0][0] is None:
+            return classify_resolve(chunks[0][1])
+        n = len(ids_part)
+        res = {k: np.zeros(n, np.int32)
+               for k in ("taxon", "best", "nvalid")}
+        for sub, outs in chunks:
+            r = classify_resolve(outs)
+            for k in res:
+                res[k][sub] = r[k][:sub.size]
+        return res
+
     files = list(cfg.input.reads)
     mates = list(cfg.input.mates) if paired else [None] * len(files)
     samples = list(cfg.input.samples) if cfg.input.samples else \
         [os.path.basename(f).split(".")[0] for f in files]
 
     from ..io.native import read_batches_native
+    # The native reader truncates stored bases at max_read_len, so exact
+    # long-read classification needs the numpy reader's full sequences.
     use_native = (native_available()
-                  and not os.environ.get("PANGEA_NO_NATIVE"))
+                  and not os.environ.get("PANGEA_NO_NATIVE")
+                  and not cfg.input.long_reads)
 
     # One-deep launch/drain pipeline: while batch i computes on device, the
     # host drains batch i-1 (TSV writes) and the prefetch thread parses
@@ -521,8 +598,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         offsets = {}
         n_classified = 0
         t_drain0 = time.time()
-        for sample, ids_part, outs in item["parts"]:
-            res = classify_resolve(outs)
+        for sample, ids_part, chunks in item["parts"]:
+            res = resolve_part(ids_part, chunks)
             if not proc0:       # non-0 processes only sync, never write
                 continue
             recs = [AssignmentRecord(ids_part[i], int(res["taxon"][i]),
@@ -588,14 +665,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             for sample, part in sorted(parts.items()):
                 if not len(part):
                     continue
-                if part.padded is not None and part.padded.shape == (B, L):
-                    bases = part.padded        # native ingest fast path
-                    mb = part.mate_padded if paired else None
-                else:
-                    bases = pad_batch(part.seqs, B, L)
-                    mb = pad_batch(part.mate_seqs, B, L) if paired else None
-                launched.append((sample, part.ids,
-                                 classify_launch(bases, mb)))
+                launched.append((sample, part.ids, launch_bucketed(part)))
             inflight.append({"fpath": fpath, "n_in": n_in, "t0": t0,
                              "t_launch": time.time() - t0,
                              "parts": launched})
@@ -634,13 +704,18 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     with open(os.path.join(cfg.classify.out_dir, "stats.json"), "w") as fh:
         json.dump(sample_stats, fh, indent=2, sort_keys=True)
 
+    if trunc_count[0]:
+        print(f"[classify] WARNING: {trunc_count[0]} reads exceeded "
+              f"input.max_long_read_len={max_long} and were truncated.",
+              file=sys.stderr)
     wall = time.time() - t_start
     result = {"reads": totals["reads"], "wall_sec": round(wall, 3),
               "reads_per_sec": round(totals["reads"] / max(wall, 1e-9), 1),
               "pct_classified": round(100.0 * totals["classified"]
                                       / max(totals["reads"], 1), 2),
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
-              "samples": sorted(sinks)}
+              "samples": sorted(sinks),
+              "truncated_reads": trunc_count[0]}
     with open(os.path.join(cfg.classify.out_dir, "run_summary.json"),
               "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
