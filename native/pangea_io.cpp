@@ -263,9 +263,13 @@ long pangea_fastx_next_batch(void* h, long max_reads, long max_len,
 // with W16 = ceil(max_len/16), W32 = ceil(max_len/32). 60 B per 150 bp read
 // instead of 150 B, and a whole batch ships to the device as ONE array (the
 // host↔device link charges a large fixed cost per transfer).
+// quals (optional, may be NULL): uint8 [max_reads, max_len], phred+33
+// decoded, 0-padded — host-side only (quality trim); never shipped to the
+// device. FASTA rows get all-zero quals.
 long pangea_fastx_next_batch_packed(void* h, long max_reads, long max_len,
                                     uint32_t* rows, int32_t* lens,
-                                    char* ids, long id_stride) {
+                                    char* ids, long id_stride,
+                                    uint8_t* quals) {
   Reader* r = (Reader*)h;
   if (!r || !r->peek_format()) return -1;
   const long w16 = (max_len + 15) / 16, w32 = (max_len + 31) / 32;
@@ -314,6 +318,13 @@ long pangea_fastx_next_batch_packed(void* h, long max_reads, long max_len,
         r->err = "FASTQ qual/seq length mismatch";
         return -1;
       }
+      if (quals) {
+        uint8_t* q = quals + n * max_len;
+        size_t m = seq_len < (size_t)max_len ? seq_len : (size_t)max_len;
+        for (size_t i = 0; i < m; ++i)
+          q[i] = (uint8_t)(r->buf[s + i] - 33);
+        if (m < (size_t)max_len) std::memset(q + m, 0, max_len - m);
+      }
       ++n;
     }
     return n;
@@ -338,6 +349,8 @@ long pangea_fastx_next_batch_packed(void* h, long max_reads, long max_len,
       seq.append(&r->buf[s], e - s);
     }
     pack_row(seq.data(), seq.size(), n);
+    if (quals)
+      std::memset(quals + n * max_len, 0, max_len);
     ++n;
     if (eof) break;
     r->pos = s;

@@ -65,7 +65,7 @@ def _load_lib():
         lib.pangea_fastx_next_batch_packed.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.pangea_write_assignments.restype = ctypes.c_long
         lib.pangea_write_assignments.argtypes = [
@@ -137,26 +137,31 @@ class NativeFastxReader:
 
     def next_batch_packed(self):
         """Wire-format batch (pangea_io.cpp packed layout): returns
-        (n, ids_raw: bytes, rows uint32 [B, W16+W32], lens int32 [B]) or
-        None at EOF. 2-bit codes + bad bitmask — 60 B per 150 bp read,
-        ready to ship to the device as ONE array. lens are TRUE
-        pre-truncation lengths (overlong reads: lens > max_len)."""
+        (n, ids_raw: bytes, rows uint32 [B, W16+W32], lens int32 [B],
+        quals uint8 [B, L] | None) or None at EOF. 2-bit codes + bad
+        bitmask — 60 B per 150 bp read, ready to ship to the device as ONE
+        array. lens are TRUE pre-truncation lengths (overlong reads:
+        lens > max_len). quals (want_quals only) stay host-side for
+        quality trimming — never shipped to the device."""
         B, L = self.batch_size, self.max_len
         stride = (L + 15) // 16 + (L + 31) // 32
         rows = np.empty((B, stride), dtype=np.uint32)
         lens = np.empty(B, dtype=np.int32)
+        quals = np.empty((B, L), dtype=np.uint8) if self.want_quals else None
         ids = ctypes.create_string_buffer(B * _ID_STRIDE)
         n = self._lib.pangea_fastx_next_batch_packed(
             self._h, B, L,
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ids, _ID_STRIDE)
+            ids, _ID_STRIDE,
+            quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if quals is not None else None)
         if n < 0:
             err = self._lib.pangea_fastx_error(self._h).decode()
             raise ValueError(f"{self.path}: {err}")
         if n == 0:
             return None
-        return n, ids.raw, rows, lens
+        return n, ids.raw, rows, lens, quals
 
     def next_batch(self):
         """Returns (ids: list[str], codes int8 [n,L], lens int32 [n],

@@ -150,24 +150,33 @@ def _trim_is_noop(t: TrimConfig) -> bool:
 
 
 def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
-                       manifest, progress, proc0=True) -> dict:
+                       manifest, progress, trim_cfg, demux_cfg,
+                       proc0=True) -> dict:
     """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
     counterpart of the reference C binary's parse→classify→printf loop):
 
-    - native reader yields raw (ids bytes, padded codes) batches;
+    - native reader yields packed wire-format batches;
+    - quality trim / length filter / demux / barcode strip run as
+      whole-batch word arithmetic on the packed rows (io.packed_ops —
+      VERDICT r1 #6), so the config-5 cohort workload stays on this path;
     - the main thread launches device steps (async dispatch) and queues the
       lazy outputs;
     - a single drain thread fetches results (overlapping the ~30 ms tunnel
-      fetch RTT with compute), merges multi-k, and bulk-writes assignment
-      TSVs through the native writer — manifest commits stay FIFO.
+      fetch RTT with compute), merges multi-k, and bulk-writes per-sample
+      assignment TSVs through the native writer — manifest commits stay
+      FIFO.
 
-    Preconditions (checked by run_classify): native io available, no demux,
-    no-op trim, single sample per file.
+    Preconditions (checked by run_classify): native io available, no
+    long-read mode, barcodes ≤ 32 bp.
     """
     import jax
 
+    from ..io.demux import UNDETERMINED
+    from ..io.fastx import sniff_format
     from ..io.native import (_ID_STRIDE, NativeFastxReader,
                              write_assignments_native)
+    from ..io.packed_ops import (demux_assign, mask_tail, qtrim_cut,
+                                 strip_rows)
 
     out_dir = cfg.classify.out_dir
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
@@ -180,7 +189,17 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     samples = list(cfg.input.samples) if cfg.input.samples else \
         [os.path.basename(f).split(".")[0] for f in files]
 
+    processing = demux_cfg is not None or not _trim_is_noop(trim_cfg)
+    bc_codes = demux_names = None
+    if demux_cfg is not None:
+        from ..core import encode_bases
+        bc_codes = [encode_bases(bc) for _, bc in demux_cfg.barcodes]
+        demux_names = [name for name, _ in demux_cfg.barcodes]
+
     sample_paths: dict[str, str] = {}
+    if demux_names is not None:
+        for name in demux_names + [UNDETERMINED]:
+            sample_paths[name] = os.path.join(out_dir, f"{name}.assign.tsv")
     sample_direct: dict[str, np.ndarray] = {}
     appended: set = set()
     drain_q: queue.Queue = queue.Queue(maxsize=4)
@@ -189,19 +208,19 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     # Durability interval (SURVEY.md §6 "fsync'd per N batches"): fsync +
     # manifest commit every N drained batches; a crash re-does at most N.
     fsync_every = max(int(os.environ.get("PANGEA_FSYNC_EVERY", "8")), 1)
-    pend = {"fpath": None, "reads": 0, "path": None, "off": 0, "k": 0}
+    pend = {"fpath": None, "reads": 0, "offsets": {}, "k": 0}
 
     def flush_durability():
         if not pend["reads"] or not proc0:
             return
-        fd = os.open(pend["path"], os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        manifest.record_batch(pend["fpath"], pend["reads"],
-                              {pend["path"]: pend["off"]})
-        pend.update(fpath=None, reads=0, path=None, off=0, k=0)
+        for path in pend["offsets"]:
+            fd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        manifest.record_batch(pend["fpath"], pend["reads"], pend["offsets"])
+        pend.update(fpath=None, reads=0, offsets={}, k=0)
 
     def drain_worker():
         try:
@@ -216,50 +235,60 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 res = outs_np[0]
                 for o2 in outs_np[1:]:
                     res = merge_multik_np(res, o2, tax)
-                path = sample_paths[item["sample"]]
-                cut = item["write_from"]
-                n = item["n"]
                 if not proc0:   # non-0 processes only sync, never write
                     continue
-                # Resume appends ONLY to manifest-recorded outputs (see
-                # _SampleSink): unrecorded files are pre-first-checkpoint
-                # garbage and get overwritten.
-                append = path in appended or (
-                    cfg.classify.resume
-                    and path in manifest.state["outputs"])
-                off = write_assignments_native(
-                    path, append,
-                    item["ids_raw"][cut * _ID_STRIDE:], _ID_STRIDE,
-                    n - cut, res["taxon"][cut:n], res["best"][cut:n],
-                    res["nvalid"][cut:n], tax, strip_mate_suffix=True,
-                    do_fsync=False)
-                appended.add(path)
-                taxa_new = res["taxon"][cut:n]
-                acc = sample_direct.get(item["sample"])
-                counts = np.bincount(taxa_new,
-                                     minlength=tax.num_taxa + 1)
-                sample_direct[item["sample"]] = \
-                    counts if acc is None else acc + counts
-                # Record only the NEWLY written reads (a partial-resume
-                # batch's first `cut` reads were counted by the prior run),
-                # and only at fsync'd durability points.
+                offsets_this: dict[str, int] = {}
+                n_cls = 0
+                # groups: (sample, ps, ids_blob) — ps is either an index
+                # array into the compacted batch or a (start, stop) tuple
+                # (the no-processing case, zero-copy ids slice).
+                for sample, ps, ids_blob in item["groups"]:
+                    path = sample_paths[sample]
+                    if isinstance(ps, tuple):
+                        sl = slice(*ps)
+                        taxa = res["taxon"][sl]
+                        best, nval = res["best"][sl], res["nvalid"][sl]
+                    else:
+                        taxa = res["taxon"][ps]
+                        best, nval = res["best"][ps], res["nvalid"][ps]
+                    # Resume appends ONLY to manifest-recorded outputs (see
+                    # _SampleSink): unrecorded files are pre-first-checkpoint
+                    # garbage and get overwritten.
+                    append = path in appended or (
+                        cfg.classify.resume
+                        and path in manifest.state["outputs"])
+                    off = write_assignments_native(
+                        path, append, ids_blob, _ID_STRIDE,
+                        len(taxa), taxa, best, nval, tax,
+                        strip_mate_suffix=True, do_fsync=False)
+                    appended.add(path)
+                    offsets_this[path] = off
+                    acc = sample_direct.get(sample)
+                    counts = np.bincount(taxa, minlength=tax.num_taxa + 1)
+                    sample_direct[sample] = \
+                        counts if acc is None else acc + counts
+                    n_cls += int((taxa != 0).sum())
+                # Record only the NEWLY processed reads (a partial-resume
+                # batch's first reads were counted by the prior run), and
+                # only at fsync'd durability points.
                 if pend["fpath"] not in (None, item["fpath"]):
                     flush_durability()
-                pend.update(fpath=item["fpath"],
-                            reads=pend["reads"] + n - cut,
-                            path=path, off=off, k=pend["k"] + 1)
+                pend["fpath"] = item["fpath"]
+                pend["reads"] += item["n_in"]
+                pend["offsets"].update(offsets_this)
+                pend["k"] += 1
                 if pend["k"] >= fsync_every:
                     flush_durability()
-                n_cls = int((taxa_new != 0).sum())
                 dt = time.time() - item["t0"]
-                totals["reads"] += n - cut
+                totals["reads"] += item["n_in"]
                 totals["classified"] += n_cls
                 totals["batches"] += 1
                 line = {"file": item["fpath"], "batch": totals["batches"],
-                        "reads": n - cut, "sec": round(dt, 4),
+                        "reads": item["n_in"], "sec": round(dt, 4),
                         "launch_sec": round(item["t_launch"], 4),
                         "drain_sec": round(time.time() - t_d0, 4),
-                        "reads_per_sec": round((n - cut) / max(dt, 1e-9), 1),
+                        "reads_per_sec": round(
+                            item["n_in"] / max(dt, 1e-9), 1),
                         "cum_reads": totals["reads"],
                         "pct_classified": round(
                             100.0 * totals["classified"]
@@ -277,13 +306,17 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
     stride = (L + 15) // 16 + (L + 31) // 32   # packed wire row width
     truncated = 0
     for fpath, mpath, fsample in zip(files, mates, samples):
-        sample_paths[fsample] = os.path.join(out_dir,
-                                             f"{fsample}.assign.tsv")
+        if demux_names is None:
+            sample_paths[fsample] = os.path.join(out_dir,
+                                                 f"{fsample}.assign.tsv")
         done = manifest.reads_done(fpath)
         seen = 0
-        r1 = NativeFastxReader(fpath, B, L, want_quals=False)
-        r2 = NativeFastxReader(mpath, B, L, want_quals=False) \
-            if mpath else None
+        want_q = trim_cfg.min_qual > 0 and sniff_format(fpath) == "fastq"
+        r1 = NativeFastxReader(fpath, B, L, want_quals=want_q)
+        r2 = NativeFastxReader(
+            mpath, B, L,
+            want_quals=trim_cfg.min_qual > 0
+            and sniff_format(mpath) == "fastq") if mpath else None
         try:
             while True:
                 if drain_err:
@@ -291,23 +324,87 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 b1 = r1.next_batch_packed()
                 if b1 is None:
                     break
-                n, ids_raw, rows, lens1 = b1
+                n, ids_raw, rows, lens1, quals1 = b1
                 truncated += int((lens1[:n] > L).sum())
                 if r2 is not None:
                     b2 = r2.next_batch_packed()
                     if b2 is None or b2[0] != n:
                         raise ValueError(f"{mpath}: record count mismatch "
                                          f"with {fpath}")
-                    truncated += int((b2[3][:n] > L).sum())
-                    # ONE combined host→device transfer per batch — the
-                    # link charges a large fixed cost per transfer.
-                    rows = np.concatenate([rows, b2[2]], axis=1)
+                    _, mids_raw, mrows, mlens, mquals = b2
+                    truncated += int((mlens[:n] > L).sum())
                 if seen + n <= done:       # resume: whole batch already done
                     seen += n
                     continue
                 write_from = max(done - seen, 0)
                 seen += n
                 t0 = time.time()
+                if processing:
+                    # Whole-batch trim/demux/strip on the packed rows —
+                    # order matches the general path: quality trim, then
+                    # length filter, then demux (io.packed_ops).
+                    lens_eff = np.minimum(lens1[:n], L).astype(np.int32)
+                    if quals1 is not None:
+                        lens_eff = qtrim_cut(quals1[:n], lens_eff,
+                                             trim_cfg.min_qual,
+                                             trim_cfg.window)
+                    if trim_cfg.max_len:
+                        lens_eff = np.minimum(lens_eff, trim_cfg.max_len)
+                    if r2 is not None:
+                        mlens_eff = np.minimum(mlens[:n], L).astype(np.int32)
+                        if mquals is not None:
+                            mlens_eff = qtrim_cut(mquals[:n], mlens_eff,
+                                                  trim_cfg.min_qual,
+                                                  trim_cfg.window)
+                        if trim_cfg.max_len:
+                            mlens_eff = np.minimum(mlens_eff,
+                                                   trim_cfg.max_len)
+                    keep = np.ones(n, bool)
+                    if trim_cfg.min_len:
+                        keep &= lens_eff >= trim_cfg.min_len
+                        if r2 is not None:
+                            keep &= mlens_eff >= trim_cfg.min_len
+                    rows_n = rows[:n]
+                    bins = None
+                    if bc_codes is not None:
+                        bins, strip = demux_assign(
+                            rows_n, L, lens_eff, bc_codes,
+                            demux_cfg.max_mismatch)
+                        rows_n = strip_rows(rows_n, L, strip)
+                        lens_eff = lens_eff - strip
+                    rows_n = mask_tail(rows_n, L, lens_eff)
+                    kidx = np.flatnonzero(keep)
+                    nk = kidx.size
+                    rows[:nk] = rows_n[kidx]
+                    if r2 is not None:
+                        mask_tail(mrows[:n], L, mlens_eff)
+                        mrows[:nk] = mrows[kidx]
+                    pos0 = int(np.searchsorted(kidx, write_from))
+                    ids_np = np.frombuffer(ids_raw, np.uint8) \
+                        .reshape(B, _ID_STRIDE)
+                    groups = []
+                    if bins is None:
+                        ps = np.arange(pos0, nk)
+                        if ps.size:
+                            groups.append((fsample, ps,
+                                           ids_np[kidx[ps]].tobytes()))
+                    else:
+                        bins_c = bins[kidx]
+                        for bi in np.unique(bins_c):
+                            name = demux_names[bi] if bi >= 0 \
+                                else UNDETERMINED
+                            ps = np.flatnonzero(bins_c == bi)
+                            ps = ps[ps >= pos0]
+                            if ps.size:
+                                groups.append((name, ps,
+                                               ids_np[kidx[ps]].tobytes()))
+                else:
+                    groups = [(fsample, (write_from, n),
+                               ids_raw[write_from * _ID_STRIDE:])]
+                if r2 is not None:
+                    # ONE combined host→device transfer per batch — the
+                    # link charges a large fixed cost per transfer.
+                    rows = np.concatenate([rows, mrows], axis=1)
                 combo = _put_batch(rows, bsh)
                 dev_b = combo[:, :stride] if paired else combo
                 dev_m = combo[:, stride:] if paired else None
@@ -315,9 +412,8 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 for di, fn in zip(dis, fns):
                     outs.append(fn(di.tables, dev_b, dev_m) if paired
                                 else fn(di.tables, dev_b))
-                drain_q.put({"fpath": fpath, "n": n, "ids_raw": ids_raw,
-                             "write_from": write_from, "sample": fsample,
-                             "outs": outs, "t0": t0,
+                drain_q.put({"fpath": fpath, "n_in": n - write_from,
+                             "groups": groups, "outs": outs, "t0": t0,
                              "t_launch": time.time() - t0})
         finally:
             r1.close()
@@ -355,7 +451,8 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
         sample_stats[sample] = report_stats.sample_stats(direct[1:])
     if len(sample_direct) > 1:
         write_cohort_summary_counts(
-            os.path.join(out_dir, "cohort.summary.tsv"), sample_direct, tax)
+            os.path.join(out_dir, "cohort.summary.tsv"), sample_direct, tax,
+            sample_order=sorted(sample_direct))
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(sample_stats, fh, indent=2, sort_keys=True)
 
@@ -450,8 +547,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     from ..io.native import native_available
     use_fast = (native_available()
                 and not os.environ.get("PANGEA_NO_NATIVE")
-                and demux_cfg is None and _trim_is_noop(trim_cfg)
-                and not cfg.input.long_reads)
+                and not cfg.input.long_reads
+                and (demux_cfg is None
+                     or max(len(bc) for _, bc in demux_cfg.barcodes) <= 32))
 
     dis = [place_index(ix, mesh, cfg.classify.confidence_threshold)
            for ix in indexes]
@@ -468,10 +566,12 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
 
     if use_fast:
         # Steady-state hot path: packed native batches in (one combined
-        # device transfer per batch), native bulk TSV writes out, drain on
-        # a worker thread. Bit-identical outputs.
+        # device transfer per batch), trim/demux as whole-batch word ops on
+        # the packed rows, native bulk TSV writes out, drain on a worker
+        # thread. Bit-identical outputs.
         return _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L,
-                                  paired, manifest, progress, proc0=proc0)
+                                  paired, manifest, progress, trim_cfg,
+                                  demux_cfg, proc0=proc0)
 
     sinks: dict[str, _SampleSink] = {}
 

@@ -1,0 +1,164 @@
+"""Packed-wire-row host ops (io.packed_ops) vs the per-read reference
+implementations (io.trim / io.demux), plus fast-path == general-path
+byte-identity under demux + trim (VERDICT r1 #6)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pangea_tpu import cli
+from pangea_tpu.io.demux import DemuxConfig, demux_batch
+from pangea_tpu.io.fastx import ReadBatch
+from pangea_tpu.io.packed_ops import (demux_assign, mask_tail, qtrim_cut,
+                                      strip_rows, unpack_head, wire_widths)
+from pangea_tpu.io.trim import TrimConfig, _trim_one
+
+
+def _pack_rows(codes_list, L):
+    """Reference packer: numpy twin of pangea_io.cpp pack_row."""
+    w16, w32 = wire_widths(L)
+    B = len(codes_list)
+    rows = np.zeros((B, w16 + w32), np.uint32)
+    rows[:, w16:] = 0xFFFFFFFF
+    for i, c in enumerate(codes_list):
+        for j, v in enumerate(c[:L]):
+            rows[i, j >> 4] |= np.uint32(int(v) & 3) << np.uint32(
+                2 * (j & 15))
+            if v <= 3:
+                rows[i, w16 + (j >> 5)] &= np.uint32(
+                    ~(1 << (j & 31)) & 0xFFFFFFFF)
+    return rows
+
+
+def _unpack_all(rows, L):
+    w16, _ = wire_widths(L)
+    B = rows.shape[0]
+    codes = np.empty((B, L), np.uint8)
+    bad = np.empty((B, L), bool)
+    for j in range(L):
+        codes[:, j] = (rows[:, j >> 4] >> np.uint32(2 * (j & 15))) & 3
+        bad[:, j] = (rows[:, w16 + (j >> 5)] >> np.uint32(j & 31)) & 1
+    return codes, bad
+
+
+@pytest.fixture(scope="module")
+def randreads():
+    rng = np.random.default_rng(7)
+    L = 73
+    lens = rng.integers(3, L + 1, size=64)
+    codes = [rng.integers(0, 5, size=int(n)).astype(np.uint8)  # incl AMBIG
+             for n in lens]
+    quals = [rng.integers(0, 41, size=int(n)).astype(np.uint8)
+             for n in lens]
+    return L, lens, codes, quals
+
+
+def test_qtrim_cut_matches_trim_one(randreads):
+    L, lens, codes, quals = randreads
+    cfg = TrimConfig(min_qual=18.0, window=4)
+    qmat = np.zeros((len(codes), L), np.uint8)
+    for i, q in enumerate(quals):
+        qmat[i, :len(q)] = q
+    got = qtrim_cut(qmat, lens.astype(np.int32), cfg.min_qual, cfg.window)
+    for i in range(len(codes)):
+        s, _ = _trim_one(codes[i], quals[i], cfg)
+        assert got[i] == s.size, i
+
+
+def test_qtrim_window_longer_than_read(randreads):
+    L, lens, codes, quals = randreads
+    qmat = np.zeros((len(codes), L), np.uint8)
+    for i, q in enumerate(quals):
+        qmat[i, :len(q)] = q
+    got = qtrim_cut(qmat, lens.astype(np.int32), 50.0, L + 10)
+    assert (got == np.minimum(lens, L)).all()   # untouched
+
+
+def test_unpack_head_and_mask_tail(randreads):
+    L, lens, codes, _ = randreads
+    rows = _pack_rows(codes, L)
+    h, b = unpack_head(rows, L, 32)
+    full_c, full_b = _unpack_all(rows, L)
+    assert (h == full_c[:, :32]).all() and (b == full_b[:, :32]).all()
+    cut = np.maximum(lens - 5, 0)
+    mask_tail(rows, L, cut)
+    _, bad2 = _unpack_all(rows, L)
+    pos = np.arange(L)[None, :]
+    assert (bad2 | (pos < cut[:, None])).all()          # tail all bad
+    assert (bad2[pos < cut[:, None]] == full_b[pos < cut[:, None]]).all()
+
+
+def test_demux_and_strip_match_reference(randreads):
+    L, lens, codes, quals = randreads
+    cfg = DemuxConfig(barcodes=(("sA", "ACGTAC"), ("sB", "TTG"),
+                                ("sC", "ACGTACGTACGTACGTAC")),
+                      max_mismatch=1)
+    batch = ReadBatch(ids=[f"r{i}" for i in range(len(codes))],
+                      seqs=list(codes), quals=list(quals))
+    want = demux_batch(batch, cfg)
+    from pangea_tpu.core import encode_bases
+    bc_codes = [encode_bases(bc) for _, bc in cfg.barcodes]
+    rows = _pack_rows(codes, L)
+    bins, strip = demux_assign(rows, L, np.minimum(lens, L), bc_codes,
+                               cfg.max_mismatch)
+    names = [n for n, _ in cfg.barcodes]
+    got_bins = {}
+    for i in range(len(codes)):
+        nm = names[bins[i]] if bins[i] >= 0 else "undetermined"
+        got_bins.setdefault(nm, []).append(i)
+    for nm, part in want.items():
+        assert [f"r{i}" for i in got_bins[nm]] == part.ids, nm
+    # strip: shifted rows must decode to the stripped sequences
+    out = strip_rows(rows, L, strip)
+    c2, b2 = _unpack_all(out, L)
+    for nm, part in want.items():
+        for rid, seq in zip(part.ids, part.seqs):
+            i = int(rid[1:])
+            m = seq.size
+            dec = np.where(b2[i, :m], 4, c2[i, :m]).astype(np.uint8)
+            assert (dec == np.where(seq > 3, 4, seq)).all(), (nm, rid)
+            assert b2[i, m:].all()                       # tail bad
+
+
+def test_fast_path_demux_trim_matches_slow(tmp_path, monkeypatch):
+    from pangea_tpu.io.native import native_available
+    if not native_available():
+        pytest.skip("native io unavailable")
+    d = str(tmp_path / "td")
+    assert cli.main(["gen-testdata", "--out", d, "--reads", "240",
+                     "--read-len", "110", "--genome-len", "4000"]) == 0
+    assert cli.main(["build", "--refs", f"{d}/refs.fasta", "--taxonomy",
+                     f"{d}/taxonomy.tsv", "--k", "21", "--out",
+                     f"{d}/idx21"]) == 0
+    # Barcode + variable quality tail so trim/min_len/demux all engage.
+    rng = np.random.default_rng(3)
+    from pangea_tpu.io.fastx import FastxReader
+    src = list(FastxReader(f"{d}/reads_1.fastq"))
+    bpath = str(tmp_path / "bc.fastq")
+    with open(bpath, "w") as fh:
+        for i, (rid, codes, _) in enumerate(src):
+            bc = ["AACCGGTT", "TTGGCCAA", "GATTACA"][i % 3] \
+                if i % 4 else ""            # every 4th: undetermined
+            seq = bc + "".join("ACGTN"[c] for c in codes)
+            q = rng.integers(10, 40, size=len(seq))
+            tail = rng.integers(0, len(seq) + 1)
+            q[tail:] = rng.integers(0, 12)   # low-qual tail to trim
+            fh.write(f"@{rid}\n{seq}\n+\n"
+                     f"{''.join(chr(33 + int(x)) for x in q)}\n")
+    args = ["classify", "--index", f"{d}/idx21", "--reads", bpath]
+    over = ["input.batch_size=64", "input.max_read_len=118",
+            "trim.min_qual=15", "trim.window=4", "trim.min_len=40",
+            'demux.barcodes=[["sampleA","AACCGGTT"],["sampleB","TTGGCCAA"]'
+            ',["sampleC","GATTACA"]]', "demux.max_mismatch=1"]
+    fast = str(tmp_path / "fast")
+    assert cli.main(args + ["--out", fast] + over) == 0
+    assert json.load(open(f"{fast}/run_summary.json")).get("fast_path")
+    slow = str(tmp_path / "slow")
+    monkeypatch.setenv("PANGEA_NO_NATIVE", "1")
+    assert cli.main(args + ["--out", slow] + over) == 0
+    names = [f for f in sorted(os.listdir(slow)) if f.endswith(".tsv")]
+    assert any(f.startswith("undetermined") for f in names)
+    assert len([f for f in names if f.endswith(".assign.tsv")]) == 4
+    for f in names:
+        assert open(f"{fast}/{f}").read() == open(f"{slow}/{f}").read(), f
