@@ -53,6 +53,13 @@ def main(argv=None) -> int:
     b.add_argument("--k", type=int, default=21)
     b.add_argument("--minimizer-w", type=int, default=1)
     b.add_argument("--load-factor", type=float, default=0.5)
+    b.add_argument("--ooc-shards", type=int, default=0,
+                   help="out-of-core build into N hash-range shards "
+                        "(bounded RAM; RefSeq scale). 0 = in-memory")
+    b.add_argument("--parts-per-shard", type=int, default=8)
+    b.add_argument("--spill-dir", default=None,
+                   help="spill directory for --ooc-shards (default: temp "
+                        "dir next to --out)")
     b.add_argument("--out", required=True)
 
     c = sub.add_parser("classify", help="classify reads against an index")
@@ -102,7 +109,10 @@ def _cmd_build(args) -> int:
     from .pipeline import run_build
     run_build(refs=args.refs, taxonomy_path=args.taxonomy, k=args.k,
               out=args.out, w=args.minimizer_w, names_dmp=args.names_dmp,
-              taxid_map_path=args.taxid_map, load_factor=args.load_factor)
+              taxid_map_path=args.taxid_map, load_factor=args.load_factor,
+              ooc_shards=args.ooc_shards,
+              parts_per_shard=args.parts_per_shard,
+              spill_dir=args.spill_dir)
     return 0
 
 

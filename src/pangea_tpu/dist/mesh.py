@@ -79,8 +79,18 @@ def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
 def place_index(index: Index, mesh: Mesh,
                 confidence_threshold: float = 0.0) -> DeviceIndex:
     """Build a DeviceIndex sharded/replicated onto the mesh: table arrays
-    [n_shards, S] split along the shard axis, taxonomy replicated."""
+    [n_shards, S] split along the shard axis, taxonomy replicated.
+
+    A :class:`ShardedIndex` whose file shard count matches the mesh's takes
+    the streaming path: each shard is fused and shipped on demand from its
+    mmap'd files (make_array_from_callback), so host RAM never holds the
+    whole table — the RefSeq-scale (config 3/5) load path, and on a
+    multi-host pod each host only ever touches the shards its own devices
+    own."""
+    from ..index.sharded import ShardedIndex
     n_shard = mesh.shape[SHARD_AXIS]
+    if isinstance(index, ShardedIndex) and index.meta.n_shards == n_shard:
+        return _place_sharded_streaming(index, mesh, confidence_threshold)
     di = DeviceIndex.from_index(index, n_shards=n_shard,
                                 confidence_threshold=confidence_threshold,
                                 device_put=False)
@@ -92,6 +102,57 @@ def place_index(index: Index, mesh: Mesh,
         tax={k: jax.device_put(v, rep_sharding) for k, v in di.tax.items()},
         cfg=di.cfg,
     )
+
+
+def _place_sharded_streaming(sidx, mesh: Mesh,
+                             confidence_threshold: float) -> DeviceIndex:
+    """One-shard-at-a-time fuse + device placement from the sharded on-disk
+    container (bit-identical arrays to the in-RAM stack_parts+fuse path)."""
+    from ..index.container import EMPTY_HI
+    from ..kernels.lookup import fuse_stash, fuse_table
+
+    meta = sidx.meta
+    S = meta.n_shards
+    W = meta.ways
+    nb_max = max(meta.shard_buckets)
+    s_max = max(max(meta.shard_stash), 1)
+    tin, tout = sidx.taxonomy.tin, sidx.taxonomy.tout
+    packed = int(tout.max(initial=0)) <= 0xFFFF
+    fused_w = 4 * W if packed else 6 * W
+
+    def fuse_one(s: int) -> np.ndarray:
+        khi, klo, val, st = sidx.shards[s]
+        reps = nb_max // khi.shape[0]
+        if reps > 1:     # sub-table replication — see shard.stack_parts
+            khi = np.tile(khi, (reps, 1))
+            klo = np.tile(klo, (reps, 1))
+            val = np.tile(val, (reps, 1))
+        return fuse_table(khi, klo, val, tin, tout)
+
+    def stash_one(s: int) -> np.ndarray:
+        st = np.asarray(sidx.shards[s][3])
+        if st.shape[1] < s_max:   # pad: EMPTY_HI keys never match
+            pad = np.zeros((3, s_max - st.shape[1]), dtype=np.uint32)
+            pad[0] = EMPTY_HI
+            st = np.concatenate([st, pad], axis=1)
+        return fuse_stash(st, tin, tout)
+
+    tab_sharding = NamedSharding(mesh, P(SHARD_AXIS, None, None))
+    rep_sharding = NamedSharding(mesh, P())
+    fused = jax.make_array_from_callback(
+        (S, nb_max, fused_w), tab_sharding,
+        lambda idx: np.stack([fuse_one(s) for s in
+                              range(*idx[0].indices(S))]))
+    stash = jax.make_array_from_callback(
+        (S, 5, s_max), tab_sharding,
+        lambda idx: np.stack([stash_one(s) for s in
+                              range(*idx[0].indices(S))]))
+    tax = {k: jax.device_put(v, rep_sharding)
+           for k, v in sidx.taxonomy.device_arrays().items()}
+    cfg = ClassifyConfig(k=meta.k, n_shards=S,
+                         confidence_threshold=confidence_threshold,
+                         w=meta.w, ways=W)
+    return DeviceIndex(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

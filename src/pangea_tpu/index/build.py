@@ -52,20 +52,29 @@ def aggregate_kmers(genomes, k: int, w: int, taxonomy: Taxonomy,
         return np.zeros(0, np.uint64), np.zeros(0, np.int32)
     kmers = np.concatenate(all_k)
     taxa = np.concatenate(all_t)
-    # Group by k-mer; sort taxa ascending within groups (SEMANTICS.md §5 —
-    # LCA-fold order is immaterial but fixed for determinism).
-    order = np.lexsort((taxa, kmers))
+    uk, ut = dedupe_lca(kmers, taxa, taxonomy)
+    return uk, ut
+
+
+def dedupe_lca(kmers: np.ndarray, taxa: np.ndarray, taxonomy: Taxonomy):
+    """Sort (kmer, taxon) pairs by k-mer, collapse duplicate k-mers to the
+    LCA of their source taxa — fully vectorized (SEMANTICS.md §5: LCA-fold
+    order is immaterial; sorting each group by Euler tin lets the fold
+    collapse to ONE pairwise LCA per group via Taxonomy.lca_segments).
+    Returns (kmers uint64[N] ascending unique, taxa int32[N])."""
+    if kmers.shape[0] == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    order = np.lexsort((taxonomy.tin[taxa], kmers))
     kmers = kmers[order]
     taxa = taxa[order]
-    # Segment boundaries.
     new = np.concatenate([[True], kmers[1:] != kmers[:-1]])
     starts = np.flatnonzero(new)
     ends = np.concatenate([starts[1:], [kmers.shape[0]]])
     uk = kmers[starts]
     ut = taxa[starts].copy()
-    multi = (ends - starts) > 1
-    for i in np.flatnonzero(multi):
-        ut[i] = taxonomy.lca_many(taxa[starts[i]:ends[i]])
+    multi = np.flatnonzero((ends - starts) > 1)
+    if multi.size:
+        ut[multi] = taxonomy.lca_segments(taxa, starts[multi], ends[multi])
     return uk, ut
 
 

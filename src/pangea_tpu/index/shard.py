@@ -9,6 +9,12 @@ original genomes — the key set is recovered from the dense table itself.
 Sharding also speeds up the probe itself: measured on TPU v5e, random row
 gathers run ~3x faster when a shard's bucket count stays ≤ 2^17, so large
 indexes want the shard axis even before HBM capacity forces it.
+
+Two sources feed this module: a monolithic :class:`Index` (tables re-laid
+in RAM — fine up to ~10^8 k-mers) and a :class:`ShardedIndex` written
+directly by the out-of-core builder (per-shard mmap files; only shards
+whose count differs from the mesh's are re-laid). Both produce bit-identical
+device tables for a given k-mer set (the layout rule is deterministic).
 """
 from __future__ import annotations
 
@@ -19,40 +25,49 @@ from .build import layout_table
 from .container import EMPTY_HI, Index
 
 
-def extract_pairs(index: Index):
-    """Recover (canon uint64[N] ascending, taxon int32[N]) from the table
-    (bucket rows + stash)."""
-    occ = index.key_hi != np.uint32(EMPTY_HI)
-    hi = index.key_hi[occ].astype(np.uint64)
-    lo = index.key_lo[occ].astype(np.uint64)
+def extract_pairs_tables(key_hi, key_lo, val, stash):
+    """Recover (canon uint64[N] ascending, taxon int32[N]) from raw table
+    arrays (bucket rows + stash)."""
+    occ = key_hi != np.uint32(EMPTY_HI)
+    hi = key_hi[occ].astype(np.uint64)
+    lo = key_lo[occ].astype(np.uint64)
     canon = (hi << np.uint64(32)) | lo
-    taxa = index.val[occ]
-    if index.stash.shape[1]:
-        s_hi, s_lo, s_val = index.stash
+    taxa = np.asarray(val)[occ]
+    if stash is not None and stash.shape[1]:
+        s_hi, s_lo, s_val = stash
+        s_real = s_hi != np.uint32(EMPTY_HI)   # padded stash rows excluded
         canon = np.concatenate(
-            [canon, (s_hi.astype(np.uint64) << np.uint64(32))
-             | s_lo.astype(np.uint64)])
-        taxa = np.concatenate([taxa, s_val.view(np.int32)])
+            [canon, (s_hi[s_real].astype(np.uint64) << np.uint64(32))
+             | s_lo[s_real].astype(np.uint64)])
+        taxa = np.concatenate([taxa, s_val.view(np.int32)[s_real]])
     order = np.argsort(canon, kind="stable")
     return canon[order], taxa[order]
 
 
-def shard_tables(index: Index, n_shards: int, load_factor: float = 0.5):
-    """Returns (key_hi, key_lo, val, stash) stacked as
-    [n_shards, NB_max, W] / stash [n_shards, 3, S_max] (stash padded with
-    EMPTY_HI keys). n_shards must be a power of two."""
-    if n_shards & (n_shards - 1):
-        raise ValueError("n_shards must be a power of two")
-    canon, taxa = extract_pairs(index)
+def extract_pairs(index: Index):
+    """Recover (canon uint64[N] ascending, taxon int32[N]) from the table
+    (bucket rows + stash)."""
+    return extract_pairs_tables(index.key_hi, index.key_lo, index.val,
+                                index.stash)
+
+
+def owner_of(canon: np.ndarray, n_shards: int) -> np.ndarray:
+    """The shard that owns each k-mer: top log2(n_shards) hash bits
+    (SEMANTICS.md §5.1). n_shards must be a power of two; 1 → all zeros."""
     if n_shards == 1:
-        owner = np.zeros(canon.shape, dtype=np.uint32)
-    else:
-        log2n = n_shards.bit_length() - 1
-        owner = hash32_np(canon) >> np.uint32(32 - log2n)
-    parts = []
-    for s in range(n_shards):
-        m = owner == s
-        parts.append(layout_table(canon[m], taxa[m], load_factor))
+        return np.zeros(canon.shape, dtype=np.uint32)
+    log2n = n_shards.bit_length() - 1
+    return hash32_np(canon) >> np.uint32(32 - log2n)
+
+
+def stack_parts(parts):
+    """Pad per-shard layouts (key_hi, key_lo, val, stash, nb) to a common
+    power-of-two bucket count and stash width, stacked [n_shards, NB_max, W]
+    / stash [n_shards, 3, S_max]. Sub-tables are replicated nb_max/nb times
+    so ``bucket = hash & (nb_max-1)`` lands on a correct copy — b mod nb_max
+    ≡ b mod nb within each copy, so the §5 lookup is unchanged without
+    re-layout. Stash padding entries carry EMPTY_HI keys (never match)."""
+    n_shards = len(parts)
     nb_max = max(p[4] for p in parts)
     s_max = max(max(p[3].shape[1] for p in parts), 1)
     W = parts[0][0].shape[1]
@@ -60,15 +75,30 @@ def shard_tables(index: Index, n_shards: int, load_factor: float = 0.5):
     key_lo = np.zeros((n_shards, nb_max, W), dtype=np.uint32)
     val = np.zeros((n_shards, nb_max, W), dtype=np.int32)
     stash = np.zeros((n_shards, 3, s_max), dtype=np.uint32)
-    stash[:, 0, :] = EMPTY_HI  # padding entries can never match
+    stash[:, 0, :] = EMPTY_HI
     for s, (khi, klo, v, st, nb) in enumerate(parts):
-        # Sub-table bucket counts are powers of two ≤ nb_max; replicate the
-        # table nb_max/nb times so `bucket = hash & (nb_max-1)` lands on a
-        # correct copy — b mod nb_max ≡ b mod nb within each copy, so the
-        # §5 lookup is unchanged without re-layout.
         reps = nb_max // nb
         key_hi[s] = np.tile(khi, (reps, 1))
         key_lo[s] = np.tile(klo, (reps, 1))
         val[s] = np.tile(v, (reps, 1))
         stash[s, :, :st.shape[1]] = st
     return key_hi, key_lo, val, stash
+
+
+def shard_tables(index, n_shards: int, load_factor: float = 0.5):
+    """Returns (key_hi, key_lo, val, stash) stacked as
+    [n_shards, NB_max, W] / stash [n_shards, 3, S_max]. n_shards must be a
+    power of two. Accepts a monolithic :class:`Index` or a
+    :class:`ShardedIndex` (see module docstring)."""
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    from .sharded import ShardedIndex
+    if isinstance(index, ShardedIndex):
+        return index.shard_tables(n_shards, load_factor)
+    canon, taxa = extract_pairs(index)
+    owner = owner_of(canon, n_shards)
+    parts = []
+    for s in range(n_shards):
+        m = owner == s
+        parts.append(layout_table(canon[m], taxa[m], load_factor))
+    return stack_parts(parts)

@@ -68,7 +68,11 @@ def _genomes_from_fasta(paths, taxonomy: Taxonomy, taxid_map: dict | None):
 def run_build(refs: list[str], taxonomy_path: str, k: int, out: str,
               w: int = 1, names_dmp: str | None = None,
               taxid_map_path: str | None = None,
-              load_factor: float = 0.5) -> Index:
+              load_factor: float = 0.5, ooc_shards: int = 0,
+              parts_per_shard: int = 8, spill_dir: str | None = None):
+    """Offline index build (SURVEY.md §4.2). ooc_shards > 0 selects the
+    out-of-core partitioned builder (RefSeq scale — bounded RAM, sharded
+    on-disk container); 0 = in-memory monolithic build."""
     tax = load_taxonomy_any(taxonomy_path, names_dmp)
     taxid_map = None
     if taxid_map_path:
@@ -78,11 +82,20 @@ def run_build(refs: list[str], taxonomy_path: str, k: int, out: str,
                 a, b = line.split()[:2]
                 taxid_map[a] = int(b)
     t0 = time.time()
-    idx = build_index(_genomes_from_fasta(refs, tax, taxid_map), tax, k=k,
-                      w=w, load_factor=load_factor,
-                      progress=lambda n: print(
-                          f"[build] {n} genomes scanned", file=sys.stderr))
-    idx.save(out)
+    genomes = _genomes_from_fasta(refs, tax, taxid_map)
+    if ooc_shards:
+        from ..index import build_index_ooc
+        idx = build_index_ooc(
+            genomes, tax, k=k, w=w, out=out, n_shards=ooc_shards,
+            parts_per_shard=parts_per_shard, load_factor=load_factor,
+            spill_dir=spill_dir,
+            progress=lambda msg: print(f"[build] {msg}", file=sys.stderr))
+    else:
+        idx = build_index(genomes, tax, k=k, w=w, load_factor=load_factor,
+                          progress=lambda n: print(
+                              f"[build] {n} genomes scanned",
+                              file=sys.stderr))
+        idx.save(out)
     print(f"[build] {idx} in {time.time()-t0:.1f}s -> {out}",
           file=sys.stderr)
     return idx
@@ -513,7 +526,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         dump_config(cfg, os.path.join(cfg.classify.out_dir,
                                       "run_config.json"))
 
-    indexes = [Index.load(p) for p in cfg.classify.index]
+    from ..index import load_index_any
+    indexes = [load_index_any(p) for p in cfg.classify.index]
     if not indexes:
         raise ValueError("classify.index must name at least one index")
     tax = indexes[0].taxonomy

@@ -119,6 +119,55 @@ class Taxonomy:
             out = self.lca(out, int(t))
         return out
 
+    def lca_pairs_np(self, u, v) -> np.ndarray:
+        """Vectorized pairwise LCA over arrays (numpy twin of
+        kernels.score.lca_pairs_jnp — SEMANTICS.md §6; any correct LCA
+        method agrees). 0 acts as identity. O(N log depth) via the cached
+        binary-lifting table — this is what lets index builds LCA-fold
+        millions of duplicate k-mer groups without a Python loop."""
+        u = np.asarray(u, dtype=np.int64)
+        v = np.asarray(v, dtype=np.int64)
+        up = self._lifting_cached()
+        levels = up.shape[0]
+        zu = u == 0
+        zv = v == 0
+        uu = np.where(zu, 1, u)
+        vv = np.where(zv, 1, v)
+        du = self.depth[uu].astype(np.int64)
+        dv = self.depth[vv].astype(np.int64)
+        swap = dv > du
+        a = np.where(swap, vv, uu)      # a is the deeper node
+        b = np.where(swap, uu, vv)
+        diff = np.abs(du - dv)
+        for l in range(levels - 1, -1, -1):
+            lift = ((diff >> l) & 1) == 1
+            a = np.where(lift, up[l][a], a)
+        equal = a == b
+        for l in range(levels - 1, -1, -1):
+            move = (~equal) & (up[l][a] != up[l][b])
+            a = np.where(move, up[l][a], a)
+            b = np.where(move, up[l][b], b)
+        res = np.where(equal, a, self.parent[a])
+        res = np.where(zu & zv, 0, np.where(zu, v, np.where(zv, u, res)))
+        return res.astype(np.int32)
+
+    def lca_segments(self, taxa: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray) -> np.ndarray:
+        """LCA of each segment taxa[starts[i]:ends[i]], vectorized.
+
+        Requires every segment's taxa to be sorted by Euler ``tin`` (any
+        full sort whose key is tin works): the Euler-tour property
+        LCA(set) = LCA(min-tin member, max-tin member) reduces each
+        segment to ONE pairwise LCA of its first and last element."""
+        return self.lca_pairs_np(taxa[starts], taxa[ends - 1])
+
+    def _lifting_cached(self) -> np.ndarray:
+        up = getattr(self, "_up_cache", None)
+        if up is None:
+            up = self.lifting_table()
+            self._up_cache = up
+        return up
+
     def ancestors(self, t: int) -> list[int]:
         """Root→t path, inclusive."""
         path = []
