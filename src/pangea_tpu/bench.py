@@ -178,6 +178,19 @@ def run_scaling_bench(n_devices=(1, 2, 4, 8), per_device_batch=2048,
     return out
 
 
+def _golden_parity(out, index, rs, n: int, threshold: float) -> bool:
+    """Bit-parity of device outputs vs the golden oracle on n reads."""
+    from .golden import classify_reads_golden
+    gold = classify_reads_golden(rs.seqs[:n], index, threshold,
+                                 mates=rs.mates[:n])
+    taxa = np.asarray(out["taxon"])[:n]
+    best = np.asarray(out["best"])[:n]
+    nval = np.asarray(out["nvalid"])[:n]
+    return bool(all(int(taxa[i]) == g.taxon and int(best[i]) == g.best
+                    and int(nval[i]) == g.nvalid
+                    for i, g in enumerate(gold)))
+
+
 def run_bench(config_path=None, overrides=(), n_reads=100_000,
               batch=16_384, read_len=150, rounds=4,
               minimizer_w=8, with_dense=True) -> dict:
@@ -205,6 +218,14 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
                                                 rounds=rounds)
     reads_per_sec = batch / step
 
+    # Continuous on-device bit-parity vs the golden model (VERDICT r1 #8):
+    # not just ancestor-consistency — the (taxon, best, nvalid) triples of a
+    # slice of this batch must match the pure-numpy oracle exactly, on
+    # whatever backend the bench runs on (the real TPU in driver runs).
+    n_par = min(int(os.environ.get("PANGEA_BENCH_PARITY_READS", "2048")),
+                batch)
+    parity = _golden_parity(out, idx, rs, n_par, 0.0)
+
     # Dense parity config (w=1): same genomes/reads.
     dense_detail = {}
     if with_dense:
@@ -221,6 +242,8 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
             "dense_step_ms": round(step_d * 1e3, 3),
             "dense_ancestor_consistency": round(float(ok_d), 4),
             "dense_index": repr(idx_dense),
+            "dense_parity_vs_golden": _golden_parity(out_d, idx_dense, rs,
+                                                     n_par, 0.0),
         }
 
     # Sanity: classification quality on this batch (not part of the metric).
@@ -254,6 +277,8 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
             "compile_sec": round(compile_sec, 1),
             "roofline_reads_per_sec": round(roofline, 1),
             "ancestor_consistency": round(float(ok), 4),
+            "parity_vs_golden": parity,
+            "parity_reads": n_par,
             "index": repr(idx),
             "device": str(jax.devices()[0]),
             "timing": "marginal in-executable (utils.timing)",

@@ -79,7 +79,9 @@ def main(argv=None) -> int:
     r.add_argument("--assignments", nargs="+", required=True)
     r.add_argument("--samples", nargs="+", default=None)
     r.add_argument("--taxonomy", required=True,
-                   help="taxonomy NPZ/TSV (e.g. <index>/taxonomy.npz)")
+                   help="taxonomy NPZ/TSV, or nodes.dmp with --names-dmp "
+                        "(e.g. <index>/taxonomy.npz)")
+    r.add_argument("--names-dmp", default=None)
     r.add_argument("--out-dir", required=True)
 
     g = sub.add_parser("gen-testdata",
@@ -147,10 +149,10 @@ def _cmd_report(args) -> int:
     from .report import stats as report_stats
     from .report.writers import summarize
 
-    tax = load_taxonomy_any(args.taxonomy)
+    from .pipeline.run import default_sample_names
+    tax = load_taxonomy_any(args.taxonomy, names_dmp=args.names_dmp)
     os.makedirs(args.out_dir, exist_ok=True)
-    samples = args.samples or [os.path.basename(a).split(".")[0]
-                               for a in args.assignments]
+    samples = args.samples or default_sample_names(args.assignments)
     sample_taxa = {}
     stats_out = {}
     for sample, path in zip(samples, args.assignments):

@@ -236,12 +236,15 @@ class Taxonomy:
                 if len(parts) >= 4 and parts[3] == "scientific name":
                     raw_names[int(parts[0])] = parts[1]
         raw_ids = sorted(raw_parent)
-        if not raw_ids or raw_parent[raw_ids[0]] not in (raw_ids[0], 1):
-            # NCBI root is taxid 1 with parent 1.
-            pass
+        # NCBI root is taxid 1 with parent 1 — reject dumps without it
+        # early, with a message naming the actual defect.
+        if not raw_ids:
+            raise ValueError(f"{nodes_dmp}: empty nodes.dmp")
+        if raw_parent.get(1) != 1:
+            raise ValueError(
+                f"{nodes_dmp}: NCBI taxdump must contain root taxid 1 "
+                f"with parent 1 (got parent {raw_parent.get(1)!r})")
         raw_to_dense = {r: i + 1 for i, r in enumerate(raw_ids)}
-        if raw_to_dense.get(1) != 1:
-            raise ValueError("NCBI taxdump must contain root taxid 1")
         T = len(raw_ids)
         parent = np.zeros(T + 1, dtype=np.int32)
         rank = np.zeros(T + 1, dtype=np.int8)
