@@ -93,6 +93,15 @@ def main(argv=None) -> int:
     g.add_argument("--paired", action="store_true")
     g.add_argument("--n-prob", type=float, default=0.005)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--bulk", action="store_true",
+                   help="vectorized streaming generator (~1M reads/s) for "
+                        "the 10M/100M-read configs; writes truth.npy")
+    g.add_argument("--n-samples", type=int, default=0,
+                   help="with --bulk: pool N barcoded samples into one "
+                        "file (demux scenario); writes barcodes.tsv")
+    g.add_argument("--n-phyla", type=int, default=2)
+    g.add_argument("--genera-per-phylum", type=int, default=2)
+    g.add_argument("--species-per-genus", type=int, default=3)
 
     be = sub.add_parser("bench", help="run the benchmark harness")
     be.add_argument("--config", default=None)
@@ -180,21 +189,41 @@ def _cmd_gen(args) -> int:
     from .utils import datagen
 
     os.makedirs(args.out, exist_ok=True)
-    tax = datagen.make_taxonomy(seed=args.seed)
+    tax = datagen.make_taxonomy(
+        n_phyla=args.n_phyla, genera_per_phylum=args.genera_per_phylum,
+        species_per_genus=args.species_per_genus, seed=args.seed)
     genomes = datagen.make_genomes(tax, genome_len=args.genome_len,
                                    seed=args.seed + 1)
     datagen.write_fasta(os.path.join(args.out, "refs.fasta"), genomes, tax)
     datagen.write_taxonomy_tsv(os.path.join(args.out, "taxonomy.tsv"), tax)
-    rs = datagen.sample_reads(genomes, args.reads, read_len=args.read_len,
-                              paired=args.paired, n_prob=args.n_prob,
-                              seed=args.seed + 2)
-    datagen.write_fastq(os.path.join(args.out, "reads_1.fastq"), rs, mate=1)
-    if args.paired:
-        datagen.write_fastq(os.path.join(args.out, "reads_2.fastq"), rs,
-                            mate=2)
-    np.savetxt(os.path.join(args.out, "truth.tsv"),
-               np.column_stack([np.arange(len(rs.truth)), rs.truth]),
-               fmt="%d", delimiter="\t", header="read_idx\ttaxid")
+    if args.bulk:
+        barcodes = None
+        if args.n_samples:
+            # distinct 8 bp barcodes, Hamming-separated by construction
+            bases = "ACGT"
+            barcodes = ["".join(bases[(i >> (2 * j)) & 3] for j in range(4))
+                        * 2 for i in range(args.n_samples)]
+            with open(os.path.join(args.out, "barcodes.tsv"), "w") as fh:
+                for i, bc in enumerate(barcodes):
+                    fh.write(f"sample{i}\t{bc}\n")
+        datagen.generate_reads_fastq_bulk(
+            os.path.join(args.out, "reads_1.fastq"), genomes, args.reads,
+            read_len=args.read_len, paired=args.paired,
+            mate_path=os.path.join(args.out, "reads_2.fastq"),
+            n_prob=args.n_prob, seed=args.seed + 2, barcodes=barcodes)
+    else:
+        rs = datagen.sample_reads(genomes, args.reads,
+                                  read_len=args.read_len,
+                                  paired=args.paired, n_prob=args.n_prob,
+                                  seed=args.seed + 2)
+        datagen.write_fastq(os.path.join(args.out, "reads_1.fastq"), rs,
+                            mate=1)
+        if args.paired:
+            datagen.write_fastq(os.path.join(args.out, "reads_2.fastq"),
+                                rs, mate=2)
+        np.savetxt(os.path.join(args.out, "truth.tsv"),
+                   np.column_stack([np.arange(len(rs.truth)), rs.truth]),
+                   fmt="%d", delimiter="\t", header="read_idx\ttaxid")
     print(f"wrote {args.reads} reads ({'paired' if args.paired else 'single'}"
           f"-end), {len(genomes)} genomes, {tax.num_taxa} taxa -> {args.out}")
     return 0
