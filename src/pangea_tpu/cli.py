@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     b.add_argument("--k", type=int, default=21)
     b.add_argument("--minimizer-w", type=int, default=1)
     b.add_argument("--load-factor", type=float, default=0.5)
+    b.add_argument("--ways", type=int, default=16,
+                   help="bucket width (16 -> 256 B fused rows; 32 packs "
+                        "dense/large tables into half the buckets)")
     b.add_argument("--ooc-shards", type=int, default=0,
                    help="out-of-core build into N hash-range shards "
                         "(bounded RAM; RefSeq scale). 0 = in-memory")
@@ -121,7 +124,7 @@ def _cmd_build(args) -> int:
     run_build(refs=args.refs, taxonomy_path=args.taxonomy, k=args.k,
               out=args.out, w=args.minimizer_w, names_dmp=args.names_dmp,
               taxid_map_path=args.taxid_map, load_factor=args.load_factor,
-              ooc_shards=args.ooc_shards,
+              ways=args.ways, ooc_shards=args.ooc_shards,
               parts_per_shard=args.parts_per_shard,
               spill_dir=args.spill_dir)
     return 0

@@ -90,7 +90,7 @@ def bucket_of_np(kmers: np.ndarray, nb: int) -> np.ndarray:
 
 
 def layout_table(kmers: np.ndarray, taxa: np.ndarray,
-                 load_factor: float = 0.5):
+                 load_factor: float = 0.5, ways: int = WAYS):
     """Place (kmer → taxon) pairs into the single-probe bucketized table
     (SEMANTICS.md §5 v5): ascending canonical k-mers claim free lanes of
     their bucket in ascending lane order; bucket overflow (> 32 residents)
@@ -109,10 +109,10 @@ def layout_table(kmers: np.ndarray, taxa: np.ndarray,
     hi = (kmers >> np.uint64(32)).astype(np.uint32)
     lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     nb = 8
-    while nb * WAYS * load_factor < max(n, 1):
+    while nb * ways * load_factor < max(n, 1):
         nb *= 2
     while True:
-        out = _try_layout(hi, lo, taxa, kmers, nb)
+        out = _try_layout(hi, lo, taxa, kmers, nb, ways)
         if out is not None:
             key_hi, key_lo, val, stash = out
             return key_hi, key_lo, val, stash, nb
@@ -121,11 +121,11 @@ def layout_table(kmers: np.ndarray, taxa: np.ndarray,
     raise AssertionError("unreachable")
 
 
-def _try_layout(hi, lo, taxa, kmers, nb):
+def _try_layout(hi, lo, taxa, kmers, nb, ways=WAYS):
     n = kmers.shape[0]
-    key_hi = np.full((nb, WAYS), EMPTY_HI, dtype=np.uint32)
-    key_lo = np.zeros((nb, WAYS), dtype=np.uint32)
-    val = np.zeros((nb, WAYS), dtype=np.int32)
+    key_hi = np.full((nb, ways), EMPTY_HI, dtype=np.uint32)
+    key_lo = np.zeros((nb, ways), dtype=np.uint32)
+    val = np.zeros((nb, ways), dtype=np.int32)
     b = bucket_of_np(kmers, nb)
     # kmers ascending ⇒ within a bucket, contenders appear in ascending
     # canonical order; rank = position within its bucket group.
@@ -136,7 +136,7 @@ def _try_layout(hi, lo, taxa, kmers, nb):
     grp = np.cumsum(newgrp) - 1 if n else np.zeros(0, np.int64)
     first = np.flatnonzero(newgrp)
     rank = np.arange(n) - first[grp] if n else np.zeros(0, np.int64)
-    place = rank < WAYS
+    place = rank < ways
     ks = order[place]
     key_hi[bs[place], rank[place]] = hi[ks]
     key_lo[bs[place], rank[place]] = lo[ks]
@@ -151,15 +151,23 @@ def _try_layout(hi, lo, taxa, kmers, nb):
 
 
 def build_index(genomes, taxonomy: Taxonomy, k: int, w: int = 1,
-                load_factor: float = 0.5, progress=None) -> Index:
-    """Build an :class:`Index` from (codes, taxon) genome pairs."""
+                load_factor: float = 0.5, progress=None,
+                ways: int = WAYS) -> Index:
+    """Build an :class:`Index` from (codes, taxon) genome pairs.
+
+    ways: bucket width (fused device row = 16·ways bytes). 16 (256 B rows)
+    is the measured optimum for small tables; 32 (512 B rows) halves the
+    bucket count of large/dense tables at the same per-row gather cost
+    (experiments/mb_gather2: 256 B and 512 B rows both ~88M rows/s on a
+    134 MB table), trading stash pressure for table bytes."""
     if k % 2 == 0 or not (1 <= k <= 31):
         raise ValueError("k must be odd and 1..31 (SEMANTICS.md §2)")
     uk, ut = aggregate_kmers(genomes, k, w, taxonomy, progress=progress)
-    key_hi, key_lo, val, stash, nb = layout_table(uk, ut, load_factor)
+    key_hi, key_lo, val, stash, nb = layout_table(uk, ut, load_factor,
+                                                  ways=ways)
     from .. import SEMANTICS_VERSION
     meta = IndexMeta(
-        k=k, w=w, n_buckets=nb, ways=WAYS,
+        k=k, w=w, n_buckets=nb, ways=ways,
         n_kmers=int(uk.shape[0]),
         n_stash=int(stash.shape[1]),
         taxonomy_hash=taxonomy.content_hash(),

@@ -84,7 +84,7 @@ class _Spiller:
 def build_index_ooc(genomes, taxonomy: Taxonomy, k: int, out: str,
                     w: int = 1, n_shards: int = 8, parts_per_shard: int = 8,
                     load_factor: float = 0.5, spill_dir: str | None = None,
-                    spill_buffer_mb: int = 256,
+                    spill_buffer_mb: int = 256, ways: int = WAYS,
                     progress=None) -> ShardedIndex:
     """Build a sharded on-disk index from (codes, taxon) genome pairs with
     bounded RAM. n_shards and parts_per_shard must be powers of two; RAM
@@ -140,7 +140,7 @@ def build_index_ooc(genomes, taxonomy: Taxonomy, k: int, out: str,
             del uks, uts
             order = np.argsort(uk, kind="stable")
             key_hi, key_lo, val, stash, nb = layout_table(
-                uk[order], ut[order], load_factor)
+                uk[order], ut[order], load_factor, ways=ways)
             del uk, ut, order
             save_shard(out, s, key_hi, key_lo, val, stash)
             shard_buckets.append(nb)
@@ -156,7 +156,7 @@ def build_index_ooc(genomes, taxonomy: Taxonomy, k: int, out: str,
             shutil.rmtree(tmp, ignore_errors=True)
     from .. import SEMANTICS_VERSION
     meta = ShardedIndexMeta(
-        k=k, w=w, ways=WAYS, n_shards=n_shards, n_kmers=n_kmers,
+        k=k, w=w, ways=ways, n_shards=n_shards, n_kmers=n_kmers,
         shard_buckets=shard_buckets, shard_stash=shard_stash,
         taxonomy_hash=taxonomy.content_hash(),
         semantics_version=SEMANTICS_VERSION)

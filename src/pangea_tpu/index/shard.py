@@ -97,8 +97,10 @@ def shard_tables(index, n_shards: int, load_factor: float = 0.5):
         return index.shard_tables(n_shards, load_factor)
     canon, taxa = extract_pairs(index)
     owner = owner_of(canon, n_shards)
+    ways = index.meta.ways          # re-sharding preserves the bucket width
     parts = []
     for s in range(n_shards):
         m = owner == s
-        parts.append(layout_table(canon[m], taxa[m], load_factor))
+        parts.append(layout_table(canon[m], taxa[m], load_factor,
+                                  ways=ways))
     return stack_parts(parts)

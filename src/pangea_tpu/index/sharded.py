@@ -109,7 +109,8 @@ class ShardedIndex:
                 taxa = np.concatenate(ts)
                 order = np.argsort(canon, kind="stable")
                 parts.append(layout_table(canon[order], taxa[order],
-                                          load_factor))
+                                          load_factor,
+                                          ways=self.meta.ways))
             return stack_parts(parts)
         # n_shards > S: split each file shard by the next hash bits.
         r = n_shards // S
@@ -120,7 +121,8 @@ class ShardedIndex:
             for m in range(s * r, (s + 1) * r):
                 sel = owner == m
                 parts.append(layout_table(canon[sel], taxa[sel],
-                                          load_factor))
+                                          load_factor,
+                                          ways=self.meta.ways))
         return stack_parts(parts)
 
     # ------------------------------------------------------------- lookups

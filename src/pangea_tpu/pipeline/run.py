@@ -83,7 +83,8 @@ def _genomes_from_fasta(paths, taxonomy: Taxonomy, taxid_map: dict | None):
 def run_build(refs: list[str], taxonomy_path: str, k: int, out: str,
               w: int = 1, names_dmp: str | None = None,
               taxid_map_path: str | None = None,
-              load_factor: float = 0.5, ooc_shards: int = 0,
+              load_factor: float = 0.5, ways: int = 16,
+              ooc_shards: int = 0,
               parts_per_shard: int = 8, spill_dir: str | None = None):
     """Offline index build (SURVEY.md §4.2). ooc_shards > 0 selects the
     out-of-core partitioned builder (RefSeq scale — bounded RAM, sharded
@@ -103,11 +104,11 @@ def run_build(refs: list[str], taxonomy_path: str, k: int, out: str,
         idx = build_index_ooc(
             genomes, tax, k=k, w=w, out=out, n_shards=ooc_shards,
             parts_per_shard=parts_per_shard, load_factor=load_factor,
-            spill_dir=spill_dir,
+            ways=ways, spill_dir=spill_dir,
             progress=lambda msg: print(f"[build] {msg}", file=sys.stderr))
     else:
         idx = build_index(genomes, tax, k=k, w=w, load_factor=load_factor,
-                          progress=lambda n: print(
+                          ways=ways, progress=lambda n: print(
                               f"[build] {n} genomes scanned",
                               file=sys.stderr))
         idx.save(out)
@@ -230,7 +231,11 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
             sample_paths[name] = os.path.join(out_dir, f"{name}.assign.tsv")
     sample_direct: dict[str, np.ndarray] = {}
     appended: set = set()
-    drain_q: queue.Queue = queue.Queue(maxsize=4)
+    # In-flight depth (SURVEY.md C17): how many launched device batches may
+    # await drain. 4 suffices on this tunnel (~30 ms fetch RTT); real PCIe
+    # deployments can deepen via PANGEA_INFLIGHT.
+    depth = max(int(os.environ.get("PANGEA_INFLIGHT", "4")), 1)
+    drain_q: queue.Queue = queue.Queue(maxsize=depth)
     drain_err: list = []
     _END = object()
     # Durability interval (SURVEY.md §6 "fsync'd per N batches"): fsync +
@@ -717,9 +722,12 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                   and not os.environ.get("PANGEA_NO_NATIVE")
                   and not cfg.input.long_reads)
 
-    # One-deep launch/drain pipeline: while batch i computes on device, the
-    # host drains batch i-1 (TSV writes) and the prefetch thread parses
-    # batch i+1 (SURVEY.md C17 streaming double-buffer).
+    # Launch/drain pipeline: while batch i computes on device, the host
+    # drains batch i-depth+1 (TSV writes) and the prefetch thread parses
+    # batch i+1 (SURVEY.md C17 streaming double-buffer). Depth 2 = one
+    # batch computing while one drains; deepen via PANGEA_INFLIGHT on
+    # hardware where fetch latency is worth hiding further.
+    depth = max(int(os.environ.get("PANGEA_INFLIGHT", "2")), 2)
     inflight: deque = deque()
 
     def drain_one():
@@ -798,9 +806,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             inflight.append({"fpath": fpath, "n_in": n_in, "t0": t0,
                              "t_launch": time.time() - t0,
                              "parts": launched})
-            # Drain-after-launch keeps exactly one batch in flight; the
+            # Drain-after-launch bounds the in-flight window; the
             # manifest still records batches in order (FIFO).
-            if len(inflight) > 1:
+            if len(inflight) >= depth:
                 drain_one()
     while inflight:
         drain_one()
