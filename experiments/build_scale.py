@@ -89,11 +89,14 @@ def main():
     report["index_gb"] = round(sidx.nbytes / 1e9, 2)
 
     # --- classify sharded on the virtual mesh ----------------------------
+    # (this sandbox's sitecustomize pre-registers the axon TPU plugin and
+    # overrides JAX_PLATFORMS — force the CPU backend via jax.config, which
+    # works as long as no backend has initialized yet)
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu" and len(jax.devices()) >= 8, \
-        "run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_" \
-        "device_count=8"
+        "run with XLA_FLAGS=--xla_force_host_platform_device_count=8"
     from pangea_tpu.classify.engine import pad_batch
     from pangea_tpu.dist import (MeshConfig, make_mesh, place_index,
                                  make_sharded_classify_fn)
