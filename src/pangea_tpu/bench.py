@@ -42,7 +42,7 @@ def make_bench_world(n_reads=100_000, read_len=150, paired=True,
     """Config-2-scale synthetic world: ~48-species 16S-style reference,
     100k paired reads. Cached by parameter hash."""
     key = hashlib.sha256(repr((n_reads, read_len, paired, n_species,
-                               genome_len, k, seed, 5)).encode()).hexdigest()[:16]
+                               genome_len, k, seed, 6)).encode()).hexdigest()[:16]
     path = os.path.join(_cache_dir(), f"world_{key}.pkl")
     if os.path.exists(path):
         with open(path, "rb") as fh:
@@ -55,7 +55,9 @@ def make_bench_world(n_reads=100_000, read_len=150, paired=True,
                                 species_per_genus=per_genus, seed=seed)
     genomes = datagen.make_genomes(tax, genome_len=genome_len,
                                    seed=seed + 1)
-    idx = build_index(genomes, tax, k=k)
+    # Auto bucket width: the dense parity table lands in the fast gather
+    # regime via W=32 + n_sub=2 (index.build.auto_ways / choose_n_sub).
+    idx = build_index(genomes, tax, k=k, ways=0)
     rs = datagen.sample_reads(genomes, n_reads, read_len=read_len,
                               paired=paired, n_prob=0.005, seed=seed + 2)
     world = (tax, genomes, idx, rs)

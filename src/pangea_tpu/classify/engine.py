@@ -33,6 +33,17 @@ class ClassifyConfig:
     confidence_threshold: float = 0.0
     w: int = 1                      # minimizer window (SEMANTICS.md §3)
     ways: int = 16                  # bucket width (index.meta.ways)
+    # Sub-tables PER device shard (measured, experiments/mb_gather3/4):
+    # row gathers run ~290-320M rows/s while a table stays ≤2^16 bucket
+    # rows AND ≤~34 MB, but only ~88M rows/s beyond — so a mid-size table
+    # (34-68 MB/shard, e.g. the dense w=1 parity index) is FASTER split in
+    # two by the next hash owner bit and probed twice at the fast rate
+    # (2/300M < 1/88M per query). Same owner rule as mesh sharding —
+    # results are bit-identical (disjoint supports sum).
+    n_sub: int = 1
+
+
+from ..index.build import choose_n_sub  # fast-regime policy (one source)
 
 
 @dataclass
@@ -49,12 +60,27 @@ class DeviceIndex:
     @classmethod
     def from_index(cls, index: Index, n_shards: int = 1,
                    confidence_threshold: float = 0.0,
-                   device_put: bool = True) -> "DeviceIndex":
+                   device_put: bool = True,
+                   n_sub: int | None = None) -> "DeviceIndex":
+        """n_sub: sub-tables per shard (see ClassifyConfig.n_sub); None =
+        auto (choose_n_sub; PANGEA_NSUB env overrides for experiments)."""
+        import os
+
         from ..kernels.lookup import fuse_stash, fuse_table
-        key_hi, key_lo, val, stash3 = shard_tables(index, n_shards)
+        if n_sub is None:
+            env = os.environ.get("PANGEA_NSUB")
+            n_sub = int(env) if env else choose_n_sub(
+                max(index.meta.n_kmers // n_shards, 1), index.meta.ways)
+        total = n_shards * n_sub
+        key_hi, key_lo, val, stash3 = shard_tables(index, total)
         tin, tout = index.taxonomy.tin, index.taxonomy.tout
         fused = fuse_table(key_hi, key_lo, val, tin, tout)
         stash = np.stack([fuse_stash(s, tin, tout) for s in stash3])
+        if n_sub > 1:   # [total, ...] -> [n_shards, n_sub, ...]; the mesh
+            # shard owns sub-shards [s*n_sub, (s+1)*n_sub) — owner bits
+            # nest, so a row-major reshape is exactly that grouping.
+            fused = fused.reshape(n_shards, n_sub, *fused.shape[1:])
+            stash = stash.reshape(n_shards, n_sub, *stash.shape[1:])
         tax = index.taxonomy.device_arrays()
         if device_put:
             fused = jax.device_put(fused)
@@ -65,7 +91,7 @@ class DeviceIndex:
             confidence_threshold=confidence_threshold,
             # ways of the DEVICE tables: shard_tables re-lays the table,
             # so trust its output shape, not the on-disk header.
-            w=index.meta.w, ways=int(key_hi.shape[-1]),
+            w=index.meta.w, ways=int(key_hi.shape[-1]), n_sub=n_sub,
         )
         return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
@@ -102,9 +128,24 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     hi = his[0] if len(parts) == 1 else jnp.concatenate(his, axis=1)
     lo = los[0] if len(parts) == 1 else jnp.concatenate(los, axis=1)
     valid = vals[0] if len(parts) == 1 else jnp.concatenate(vals, axis=1)
-    hits = lookup_jnp(hi, lo, valid, tables["fused"], tables["stash"],
-                      n_shards=cfg.n_shards, shard_id=shard_id,
-                      ways=cfg.ways)
+    if cfg.n_sub > 1:
+        # Sub-table split (ClassifyConfig.n_sub): probe each fast-regime
+        # sub-table for all queries; the owner rule makes supports
+        # disjoint, so the (taxon, tin, tout) triples sum exactly —
+        # the single-chip analog of the mesh psum merge.
+        total = cfg.n_shards * cfg.n_sub
+        hits = None
+        for t in range(cfg.n_sub):
+            h = lookup_jnp(hi, lo, valid, tables["fused"][t],
+                           tables["stash"][t], n_shards=total,
+                           shard_id=shard_id * cfg.n_sub + t,
+                           ways=cfg.ways)
+            hits = h if hits is None else \
+                tuple(a + b for a, b in zip(hits, h))
+    else:
+        hits = lookup_jnp(hi, lo, valid, tables["fused"], tables["stash"],
+                          n_shards=cfg.n_shards, shard_id=shard_id,
+                          ways=cfg.ways)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     return hits, nvalid
 

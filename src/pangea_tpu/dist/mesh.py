@@ -195,8 +195,10 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
                                              tiled=True), out)
         return out
 
-    tab_specs = {"fused": P(SHARD_AXIS, None, None),
-                 "stash": P(SHARD_AXIS, None, None),
+    # Table arrays gain a sub-table dim when cfg.n_sub > 1 (engine docs).
+    tab = P(SHARD_AXIS, None, None, None) if cfg.n_sub > 1 \
+        else P(SHARD_AXIS, None, None)
+    tab_specs = {"fused": tab, "stash": tab,
                  "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
                                                      "parent": 0, "depth": 0,
                                                      "up": 0})}

@@ -83,6 +83,49 @@ def dedupe_lca(kmers: np.ndarray, taxa: np.ndarray, taxonomy: Taxonomy):
 WAYS = 16
 STASH_MAX = 128  # overflow cap; exceeding it doubles NB and restarts
 
+# Fast-gather regime bounds (TPU v5e, experiments/mb_gather3/4): random row
+# gathers run ~290-320M rows/s while the table stays within BOTH bounds,
+# ~88M rows/s beyond. Layout policy (auto_ways + choose_n_sub) aims tables
+# at this regime; correctness never depends on it.
+FAST_ROWS = 1 << 16
+FAST_BYTES = 36 << 20
+
+
+def _est_table(n: int, ways: int, load_factor: float):
+    nb = 8
+    while nb * ways * load_factor < max(n, 1):
+        nb *= 2
+    return nb, nb * ways * 16              # fused row = 16 B/slot
+
+
+def _fits_fast(n: int, ways: int, load_factor: float) -> bool:
+    nb, by = _est_table(n, ways, load_factor)
+    return nb <= FAST_ROWS and by <= FAST_BYTES
+
+
+def choose_n_sub(n_kmers_per_shard: int, ways: int,
+                 load_factor: float = 0.5) -> int:
+    """Auto sub-table policy (classify side): split a per-shard table in
+    two iff the whole table misses the fast-gather regime but each half
+    fits it. Deeper splits lose (k/300M per row exceeds 1/88M at k ≥ 3)."""
+    if _fits_fast(n_kmers_per_shard, ways, load_factor):
+        return 1
+    if _fits_fast((n_kmers_per_shard + 1) // 2, ways, load_factor):
+        return 2
+    return 1
+
+
+def auto_ways(n_kmers: int, load_factor: float = 0.5) -> int:
+    """Auto bucket width (build side): 16 (256 B rows) when that already
+    lands in the fast regime; widen to 32 (512 B rows) when it packs the
+    table (whole, or its n_sub=2 halves) into the regime — 512 B rows
+    gather at the same per-row rate as 256 B ones (mb_gather3). Beyond the
+    regime entirely (RefSeq scale), stay at 16 and shard instead."""
+    for ways in (16, 32):
+        if _fits_fast(n_kmers, ways, load_factor) or                 _fits_fast((n_kmers + 1) // 2, ways, load_factor):
+            return ways
+    return WAYS
+
 
 def bucket_of_np(kmers: np.ndarray, nb: int) -> np.ndarray:
     """The single candidate bucket per SEMANTICS.md §4: h & (NB-1)."""
@@ -155,14 +198,16 @@ def build_index(genomes, taxonomy: Taxonomy, k: int, w: int = 1,
                 ways: int = WAYS) -> Index:
     """Build an :class:`Index` from (codes, taxon) genome pairs.
 
-    ways: bucket width (fused device row = 16·ways bytes). 16 (256 B rows)
-    is the measured optimum for small tables; 32 (512 B rows) halves the
-    bucket count of large/dense tables at the same per-row gather cost
-    (experiments/mb_gather2: 256 B and 512 B rows both ~88M rows/s on a
-    134 MB table), trading stash pressure for table bytes."""
+    ways: bucket width (fused device row = 16·ways bytes); 0 = auto
+    (auto_ways — widen to 32 when that keeps the table, or its n_sub=2
+    halves, in the fast gather regime). 16 (256 B rows) is the measured
+    optimum for small tables; 512 B rows gather at the same per-row rate
+    (experiments/mb_gather2/3)."""
     if k % 2 == 0 or not (1 <= k <= 31):
         raise ValueError("k must be odd and 1..31 (SEMANTICS.md §2)")
     uk, ut = aggregate_kmers(genomes, k, w, taxonomy, progress=progress)
+    if ways == 0:
+        ways = auto_ways(int(uk.shape[0]), load_factor)
     key_hi, key_lo, val, stash, nb = layout_table(uk, ut, load_factor,
                                                   ways=ways)
     from .. import SEMANTICS_VERSION

@@ -1,0 +1,75 @@
+"""Sub-table split lookups (ClassifyConfig.n_sub — the single-chip analog
+of mesh sharding, used to keep mid-size tables in the fast gather regime).
+Bit-exactness: n_sub=2 must match n_sub=1 and golden everywhere."""
+import jax
+import numpy as np
+import pytest
+
+from pangea_tpu.classify.engine import (DeviceIndex, choose_n_sub,
+                                        make_classify_fn, pad_batch)
+from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+
+from .helpers import small_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return small_world(paired=True)
+
+
+def _run_single(idx, rs, n_sub):
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.05,
+                                n_sub=n_sub)
+    assert di.cfg.n_sub == n_sub
+    fn = make_classify_fn(di.cfg, paired=True)
+    B, L = 256, 120
+    b1 = pad_batch(rs.seqs[:B], B, L)
+    b2 = pad_batch(rs.mates[:B], B, L)
+    out = fn(di.tables, jax.device_put(b1), jax.device_put(b2))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_single_device_subtables_bit_identical(world):
+    _, _, idx, rs = world
+    base = _run_single(idx, rs, 1)
+    for n_sub in (2, 4):
+        got = _run_single(idx, rs, n_sub)
+        for k in base:
+            np.testing.assert_array_equal(got[k], base[k], err_msg=k)
+
+
+def test_meshed_subtables_bit_identical(world):
+    _, _, idx, rs = world
+    B, L = 256, 120
+    b1 = pad_batch(rs.seqs[:B], B, L)
+    b2 = pad_batch(rs.mates[:B], B, L)
+    base = _run_single(idx, rs, 1)
+    for n_data, n_shard in ((2, 4), (4, 2)):
+        mesh = make_mesh(MeshConfig(n_data=n_data, n_shard=n_shard))
+        di = DeviceIndex.from_index(idx, n_shards=n_shard,
+                                    confidence_threshold=0.05, n_sub=2,
+                                    device_put=False)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tab_sh = NamedSharding(mesh, P("shard"))
+        rep = NamedSharding(mesh, P())
+        di = DeviceIndex(
+            fused=jax.device_put(di.fused, tab_sh),
+            stash=jax.device_put(di.stash, tab_sh),
+            tax={k: jax.device_put(v, rep) for k, v in di.tax.items()},
+            cfg=di.cfg)
+        fn = make_sharded_classify_fn(di.cfg, mesh, paired=True)
+        sh = batch_sharding(mesh)
+        out = fn(di.tables, jax.device_put(b1, sh), jax.device_put(b2, sh))
+        for k in base:
+            np.testing.assert_array_equal(np.asarray(out[k]), base[k],
+                                          err_msg=f"{n_data}x{n_shard}:{k}")
+
+
+def test_choose_n_sub_policy():
+    # tiny table: already fast -> 1
+    assert choose_n_sub(200_000, 16) == 1
+    # dense-parity-like: 2M k-mers at W=32 -> 67 MB full, 34 MB halves -> 2
+    assert choose_n_sub(2_000_000, 32) == 2
+    # RefSeq-shard-like: both halves still far beyond the regime -> 1
+    assert choose_n_sub(66_000_000, 16) == 1
