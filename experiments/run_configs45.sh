@@ -25,7 +25,7 @@ EOF
 )
 
 echo "=== config 4: 10M reads, multi-k k=21/31, single host ==="
-/usr/bin/time -v python -m pangea_tpu.cli classify \
+python -m pangea_tpu.cli classify \
     --config configs/config4_multik.json \
     'input.reads=["/tmp/c4/reads_1.fastq"]' \
     'classify.index=["/tmp/c4/idx21","/tmp/c4/idx31"]' \

@@ -52,7 +52,9 @@ class DeviceIndex:
     plus the static config. Taxonomy arrays are replicated; the fused table
     and stash are stacked [n_shards, ...] for placement along the mesh
     'shard' axis (fused row layout: see kernels.lookup.fuse_table)."""
-    fused: jnp.ndarray    # uint32 [n_shards, NB, 3W]
+    # n_sub == 1: single arrays; n_sub > 1: tuples of n_sub arrays (one
+    # device buffer per sub-table — see from_index for why that matters).
+    fused: jnp.ndarray    # uint32 [n_shards, NB, 3W] (or tuple thereof)
     stash: jnp.ndarray    # uint32 [n_shards, 3, S] overflow (S may be 0)
     tax: dict             # tin/tout/parent/depth [T+1], up [levels, T+1]
     cfg: ClassifyConfig
@@ -76,11 +78,19 @@ class DeviceIndex:
         tin, tout = index.taxonomy.tin, index.taxonomy.tout
         fused = fuse_table(key_hi, key_lo, val, tin, tout)
         stash = np.stack([fuse_stash(s, tin, tout) for s in stash3])
-        if n_sub > 1:   # [total, ...] -> [n_shards, n_sub, ...]; the mesh
-            # shard owns sub-shards [s*n_sub, (s+1)*n_sub) — owner bits
-            # nest, so a row-major reshape is exactly that grouping.
-            fused = fused.reshape(n_shards, n_sub, *fused.shape[1:])
-            stash = stash.reshape(n_shards, n_sub, *stash.shape[1:])
+        if n_sub > 1:   # [total, ...] -> n_sub SEPARATE [n_shards, ...]
+            # arrays (mesh shard s owns sub-shards [s*n_sub, (s+1)*n_sub),
+            # so sub-table t of every shard is the stride-n_sub slice).
+            # Separate device buffers are the point: a gather whose operand
+            # is a slice of one stacked [n_sub, NB, FW] buffer prices at
+            # the STACKED table's (rows, bytes) — measured 88M rows/s on
+            # the dense parity index, i.e. the fast-regime win silently
+            # evaporates (experiments/mb_gather6.py). Distinct buffers keep
+            # each gather operand inside the ≤2^16-row/≤34 MB regime.
+            fused = tuple(np.ascontiguousarray(fused[t::n_sub])
+                          for t in range(n_sub))
+            stash = tuple(np.ascontiguousarray(stash[t::n_sub])
+                          for t in range(n_sub))
         tax = index.taxonomy.device_arrays()
         if device_put:
             fused = jax.device_put(fused)
@@ -100,12 +110,20 @@ class DeviceIndex:
         return {"fused": self.fused, "stash": self.stash, "tax": self.tax}
 
 
+def _shard_view(arr, s, n_sub):
+    """Slice table arrays to one mesh shard: [n_shards, ...] -> [...] —
+    mapped over the per-sub-table tuple when n_sub > 1."""
+    if n_sub > 1:
+        return tuple(a[s] for a in arr)
+    return arr[s]
+
+
 def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
                       shard_id=0, mate_bases=None, packed_len: int = 0):
     """bases (and optional mate_bases) → ((taxon, t_in, t_out) int32
     [B, P], nvalid int32 [B]) on ONE shard's table
     (tables["fused"]/["stash"] already sliced to this shard: [NB, 4W|6W] /
-    [5, S]). Inputs are int8 [B, L] code matrices, or — when packed_len=L
+    [5, S], or tuples of n_sub such arrays — see _shard_view). Inputs are int8 [B, L] code matrices, or — when packed_len=L
     is given — uint32 [B, W16+W32] packed wire rows (encode.unpack_wire;
     2.5x less host→device traffic). Mates are concatenated at the k-mer
     level (SEMANTICS.md §8) BEFORE the lookup: one big gather runs
@@ -162,7 +180,8 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
     """
 
     def fn(tables, bases, mate_bases=None):
-        t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
+        t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
+             "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
              "tax": tables["tax"]}
         hits, nvalid = hits_single_shard(t, bases, cfg,
                                          mate_bases=mate_bases,

@@ -176,8 +176,11 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
     from jax import shard_map
 
     def local_step(tables, bases, mate_bases):
-        # Local views inside shard_map: fused [1, NB, 4W|6W]; bases [b, L].
-        t = {"fused": tables["fused"][0], "stash": tables["stash"][0],
+        # Local views inside shard_map: fused [1, NB, 4W|6W] (tuple of such
+        # when n_sub > 1); bases [b, L].
+        from ..classify.engine import _shard_view
+        t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
+             "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
              "tax": tables["tax"]}
         sid = jax.lax.axis_index(SHARD_AXIS)
         hits, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid,
@@ -195,9 +198,10 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
                                              tiled=True), out)
         return out
 
-    # Table arrays gain a sub-table dim when cfg.n_sub > 1 (engine docs).
-    tab = P(SHARD_AXIS, None, None, None) if cfg.n_sub > 1 \
-        else P(SHARD_AXIS, None, None)
+    # Table arrays become per-sub-table TUPLES when cfg.n_sub > 1 (engine
+    # docs — separate buffers keep each gather in the fast regime).
+    tab3 = P(SHARD_AXIS, None, None)
+    tab = tuple(tab3 for _ in range(cfg.n_sub)) if cfg.n_sub > 1 else tab3
     tab_specs = {"fused": tab, "stash": tab,
                  "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
                                                      "parent": 0, "depth": 0,
