@@ -160,6 +160,89 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None))
 
 
+def _local_classify(tables, bases, mate_bases, cfg: ClassifyConfig,
+                    paired: bool, packed_len: int):
+    """Per-device classify step inside shard_map: local-shard lookup, ONE
+    psum merging the disjoint per-position hit arrays over the shard axis
+    (ICI all-reduce; SEMANTICS.md §5.1, §11), then scoring. Local table
+    views: fused [1, NB, 4W|6W] (tuple of such when n_sub > 1)."""
+    from ..classify.engine import _shard_view
+    t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
+         "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
+         "tax": tables["tax"]}
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    hits, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid,
+                                     mate_bases=mate_bases if paired
+                                     else None, packed_len=packed_len)
+    hits = jax.lax.psum(hits, SHARD_AXIS)
+    return score_reads_jnp(hits, nvalid, tables["tax"],
+                           cfg.confidence_threshold)
+
+
+def _replicate_over_data(out):
+    """all_gather over the data axis so every host can fetch the [B]
+    outputs in multi-process runs (tiny next to the lookup)."""
+    return jax.tree.map(
+        lambda x: jax.lax.all_gather(x, DATA_AXIS, axis=0, tiled=True), out)
+
+
+def _tab_specs(cfg: ClassifyConfig) -> dict:
+    """shard_map in_specs for one DeviceIndex.tables pytree. Table arrays
+    are per-sub-table TUPLES when cfg.n_sub > 1 (engine docs — separate
+    buffers keep each gather in the fast regime)."""
+    tab3 = P(SHARD_AXIS, None, None)
+    tab = tuple(tab3 for _ in range(cfg.n_sub)) if cfg.n_sub > 1 else tab3
+    return {"fused": tab, "stash": tab,
+            "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
+                                                "parent": 0, "depth": 0,
+                                                "up": 0})}
+
+
+def make_multik_sharded_classify_fn(cfgs, mesh: Mesh, paired: bool = False,
+                                    packed_len: int = 0,
+                                    replicate_out: bool = False):
+    """Fused multi-classifier step (SURVEY.md C15 on-device): classify the
+    SAME read batch against every index (e.g. k=21 and k=31), merge the
+    per-read assignments with the exact-rational SEMANTICS.md §9 rule
+    (classify.merge.merge_multik_jnp) — all in ONE XLA program, one
+    dispatch, one [B]-triple fetch per batch instead of one per index.
+
+    cfgs: one ClassifyConfig per index. Returns
+    fn(tables_tuple, bases[, mate_bases]) where tables_tuple holds each
+    DeviceIndex.tables in index order (taxonomy arrays shared/replicated).
+    """
+    from jax import shard_map
+
+    from ..classify.merge import merge_multik_jnp
+
+    cfgs = tuple(cfgs)
+
+    def local_step(tables_tuple, bases, mate_bases):
+        outs = [_local_classify(t, bases, mate_bases, c, paired, packed_len)
+                for t, c in zip(tables_tuple, cfgs)]
+        res = outs[0]
+        for o in outs[1:]:
+            res = merge_multik_jnp(res, o, tables_tuple[0]["tax"])
+        if replicate_out:
+            res = _replicate_over_data(res)
+        return res
+
+    tab_specs = tuple(_tab_specs(c) for c in cfgs)
+    row = P() if replicate_out else P(DATA_AXIS)
+    out_spec = {"taxon": row, "best": row, "nvalid": row}
+
+    if paired:
+        fn = shard_map(local_step, mesh=mesh,
+                       in_specs=(tab_specs, P(DATA_AXIS, None),
+                                 P(DATA_AXIS, None)),
+                       out_specs=out_spec, check_vma=False)
+        return jax.jit(fn)
+    fn = shard_map(lambda tables, bases: local_step(tables, bases, None),
+                   mesh=mesh, in_specs=(tab_specs, P(DATA_AXIS, None)),
+                   out_specs=out_spec, check_vma=False)
+    return jax.jit(fn)
+
+
 def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
                              paired: bool = False, packed_len: int = 0,
                              replicate_out: bool = False):
@@ -176,36 +259,13 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
     from jax import shard_map
 
     def local_step(tables, bases, mate_bases):
-        # Local views inside shard_map: fused [1, NB, 4W|6W] (tuple of such
-        # when n_sub > 1); bases [b, L].
-        from ..classify.engine import _shard_view
-        t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
-             "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
-             "tax": tables["tax"]}
-        sid = jax.lax.axis_index(SHARD_AXIS)
-        hits, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid,
-                                         mate_bases=mate_bases if paired
-                                         else None, packed_len=packed_len)
-        # THE collective: per position only the owning shard contributes a
-        # nonzero (taxon, t_in, t_out) — disjoint supports sum exactly
-        # (ICI all-reduce; SEMANTICS.md §11).
-        hits = jax.lax.psum(hits, SHARD_AXIS)
-        out = score_reads_jnp(hits, nvalid, tables["tax"],
-                              cfg.confidence_threshold)
+        out = _local_classify(tables, bases, mate_bases, cfg, paired,
+                              packed_len)
         if replicate_out:
-            out = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, DATA_AXIS, axis=0,
-                                             tiled=True), out)
+            out = _replicate_over_data(out)
         return out
 
-    # Table arrays become per-sub-table TUPLES when cfg.n_sub > 1 (engine
-    # docs — separate buffers keep each gather in the fast regime).
-    tab3 = P(SHARD_AXIS, None, None)
-    tab = tuple(tab3 for _ in range(cfg.n_sub)) if cfg.n_sub > 1 else tab3
-    tab_specs = {"fused": tab, "stash": tab,
-                 "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
-                                                     "parent": 0, "depth": 0,
-                                                     "up": 0})}
+    tab_specs = _tab_specs(cfg)
     row = P() if replicate_out else P(DATA_AXIS)
     out_spec = {"taxon": row, "best": row, "nvalid": row}
 

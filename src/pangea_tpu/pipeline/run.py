@@ -178,7 +178,7 @@ def _trim_is_noop(t: TrimConfig) -> bool:
     return t.min_qual <= 0 and not t.min_len and not t.max_len
 
 
-def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
+def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                        manifest, progress, trim_cfg, demux_cfg,
                        proc0=True) -> dict:
     """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
@@ -441,10 +441,7 @@ def _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L, paired,
                 combo = _put_batch(rows, bsh)
                 dev_b = combo[:, :stride] if paired else combo
                 dev_m = combo[:, stride:] if paired else None
-                outs = []
-                for di, fn in zip(dis, fns):
-                    outs.append(fn(di.tables, dev_b, dev_m) if paired
-                                else fn(di.tables, dev_b))
+                outs = launch_step(dev_b, dev_m)
                 drain_q.put({"fpath": fpath, "n_in": n - write_from,
                              "groups": groups, "outs": outs, "t0": t0,
                              "t_launch": time.time() - t0})
@@ -587,10 +584,29 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
 
     dis = [place_index(ix, mesh, cfg.classify.confidence_threshold)
            for ix in indexes]
-    fns = [make_sharded_classify_fn(di.cfg, mesh, paired=paired,
-                                    packed_len=L if use_fast else 0,
-                                    replicate_out=nproc > 1)
-           for di in dis]
+    if len(dis) > 1:
+        # Fused multi-k (SURVEY.md C15 on-device): every index's classify
+        # AND the §9 merge run in ONE XLA program — one dispatch + one [B]
+        # fetch per batch, not one per index. The drain-side host merge
+        # loop then sees a single, already-merged output.
+        from ..dist.mesh import make_multik_sharded_classify_fn
+        mk_fn = make_multik_sharded_classify_fn(
+            [di.cfg for di in dis], mesh, paired=paired,
+            packed_len=L if use_fast else 0, replicate_out=nproc > 1)
+        all_tables = tuple(di.tables for di in dis)
+
+        def launch_step(dev_b, dev_m=None):
+            return [mk_fn(all_tables, dev_b, dev_m) if paired
+                    else mk_fn(all_tables, dev_b)]
+    else:
+        fn0 = make_sharded_classify_fn(dis[0].cfg, mesh, paired=paired,
+                                       packed_len=L if use_fast else 0,
+                                       replicate_out=nproc > 1)
+        di0 = dis[0]
+
+        def launch_step(dev_b, dev_m=None):
+            return [fn0(di0.tables, dev_b, dev_m) if paired
+                    else fn0(di0.tables, dev_b)]
 
     manifest = Manifest.load_or_new(
         os.path.join(cfg.classify.out_dir, "manifest.json"),
@@ -603,7 +619,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         # device transfer per batch), trim/demux as whole-batch word ops on
         # the packed rows, native bulk TSV writes out, drain on a worker
         # thread. Bit-identical outputs.
-        return _run_classify_fast(cfg, tax, dis, fns, bsh, mcfg, B, L,
+        return _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L,
                                   paired, manifest, progress, trim_cfg,
                                   demux_cfg, proc0=proc0)
 
@@ -633,12 +649,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         host can overlap parse/drain with compute (one-deep pipeline)."""
         dev_b = _put_batch(bases, bsh)
         dev_m = _put_batch(mates, bsh) if paired else None
-        outs = []
-        for fn in fns:
-            o = fn(dis[len(outs)].tables, dev_b, dev_m) if paired else \
-                fn(dis[len(outs)].tables, dev_b)
-            outs.append(o)
-        return outs
+        return launch_step(dev_b, dev_m)
 
     def classify_resolve(outs):
         outs_np = [{k: np.asarray(v) for k, v in o.items()} for o in outs]
