@@ -189,11 +189,11 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
       whole-batch word arithmetic on the packed rows (io.packed_ops —
       VERDICT r1 #6), so the config-5 cohort workload stays on this path;
     - the main thread launches device steps (async dispatch) and queues the
-      lazy outputs;
+      lazy outputs (multi-k is fused: all indexes + the §9 merge are ONE
+      device program — see dist.make_multik_sharded_classify_fn);
     - a single drain thread fetches results (overlapping the ~30 ms tunnel
-      fetch RTT with compute), merges multi-k, and bulk-writes per-sample
-      assignment TSVs through the native writer — manifest commits stay
-      FIFO.
+      fetch RTT with compute) and bulk-writes per-sample assignment TSVs
+      through the native writer — manifest commits stay FIFO.
 
     Preconditions (checked by run_classify): native io available, no
     long-read mode, barcodes ≤ 32 bp.
