@@ -1,18 +1,30 @@
 """Benchmark harness (SURVEY.md C23, §7).
 
 Measures reads/sec/chip on a driver-config-2-like workload (paired-end
-reads, index replicated on one chip) through the real device classify step,
-and compares against the HBM-bandwidth roofline of BASELINE.md:
+reads, index replicated on one chip) through the real device classify step.
 
-    roofline reads/s/chip = HBM_bytes/s / (kmers_per_read × bytes/lookup)
+Driver-robustness contract (VERDICT r2 #1 — round 2's driver bench timed
+out and recorded no number):
 
-The reference has NO published numbers (BASELINE.md — empty mount, empty
-``published`` block), so ``vs_baseline`` reports measured/roofline: the
-fraction of speed-of-light achieved, the honest scalar the driver spec
-asks us to maximize ("must run at speed-of-light per chip").
+- the HEADLINE (w=8 production config + golden parity) is measured first
+  and returned alone by :func:`run_bench`; the ``bench.py`` entry prints
+  its JSON line IMMEDIATELY and flushes before anything optional runs;
+- everything else (dense parity config, sweeps) lives in
+  :func:`run_bench_extras`, run only within an explicit wall-clock budget
+  (PANGEA_BENCH_BUDGET_SEC) and written to a side file — a timeout can
+  never cost the headline;
+- the persistent XLA compile cache is enabled by the entry point
+  (utils.compile_cache), so driver runs don't pay the 171 s first compile;
+- the synthetic-world cache key includes SEMANTICS_VERSION and a
+  fingerprint of the semantics-bearing sources, so a stale pickle can't
+  survive a semantics-affecting commit.
 
-Synthetic inputs are cached under /tmp so repeated runs measure the device,
-not datagen.
+``vs_baseline`` reports measured/roofline: the fraction of speed-of-light
+achieved (the reference has NO published numbers — BASELINE.md). The
+roofline is the HBM-bandwidth bound for the ACTUAL fused row size
+(16 bytes/slot × ways), not the former 512 B-transaction assumption
+(VERDICT r2 weak #8); the measured XLA gather-issue ceiling (~300M rows/s,
+DESIGN.md fact 1) is also reported in detail as the nearer, observed bound.
 """
 from __future__ import annotations
 
@@ -26,9 +38,10 @@ import numpy as np
 
 # TPU v5e (v5 lite): ~819 GB/s HBM bandwidth per chip.
 HBM_BYTES_PER_SEC = {"v5e": 819e9}
-# A probe gathers one fused bucket row: 32 slots × (key_hi + key_lo + val)
-# = 384 B (SEMANTICS.md §5 v5).
-BYTES_PER_PROBE = 3 * 4 * 32
+# Measured XLA row-gather issue ceiling in the fast regime (DESIGN.md
+# fact 1, experiments/mb_gather3/4): ~300M rows/s regardless of 256 B vs
+# 512 B row width — the operative per-chip bound for this workload.
+GATHER_ROWS_PER_SEC = 300e6
 
 
 def _cache_dir() -> str:
@@ -37,12 +50,29 @@ def _cache_dir() -> str:
     return d
 
 
+def _source_fingerprint() -> str:
+    """Hash of the semantics-bearing sources + SEMANTICS_VERSION: keys the
+    bench-world cache so a pickle built by older code cannot silently
+    survive a semantics-affecting commit (VERDICT r2 weak #2)."""
+    from . import SEMANTICS_VERSION
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256(str(SEMANTICS_VERSION).encode())
+    for rel in ("core/semantics_np.py", "index/build.py",
+                "index/container.py", "taxonomy/taxonomy.py",
+                "utils/datagen.py"):
+        with open(os.path.join(here, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def make_bench_world(n_reads=100_000, read_len=150, paired=True,
                      n_species=48, genome_len=50_000, k=21, seed=0):
     """Config-2-scale synthetic world: ~48-species 16S-style reference,
-    100k paired reads. Cached by parameter hash."""
+    100k paired reads. Cached by parameter hash + source fingerprint."""
     key = hashlib.sha256(repr((n_reads, read_len, paired, n_species,
-                               genome_len, k, seed, 6)).encode()).hexdigest()[:16]
+                               genome_len, k, seed,
+                               _source_fingerprint())).encode()
+                         ).hexdigest()[:16]
     path = os.path.join(_cache_dir(), f"world_{key}.pkl")
     if os.path.exists(path):
         with open(path, "rb") as fh:
@@ -55,8 +85,7 @@ def make_bench_world(n_reads=100_000, read_len=150, paired=True,
                                 species_per_genus=per_genus, seed=seed)
     genomes = datagen.make_genomes(tax, genome_len=genome_len,
                                    seed=seed + 1)
-    # Auto bucket width: the dense parity table lands in the fast gather
-    # regime via W=32 + n_sub=2 (index.build.auto_ways / choose_n_sub).
+    # ways=0: auto layout policy (index.build.auto_ways / choose_n_sub).
     idx = build_index(genomes, tax, k=k, ways=0)
     rs = datagen.sample_reads(genomes, n_reads, read_len=read_len,
                               paired=paired, n_prob=0.005, seed=seed + 2)
@@ -193,16 +222,26 @@ def _golden_parity(out, index, rs, n: int, threshold: float) -> bool:
                     for i, g in enumerate(gold)))
 
 
-def run_bench(config_path=None, overrides=(), n_reads=100_000,
-              batch=16_384, read_len=150, rounds=4,
-              minimizer_w=8, with_dense=True) -> dict:
-    """Steady-state device throughput benchmark. Returns the driver's
-    one-line JSON dict. Headline = the minimizer production config
-    (SEMANTICS.md §3, w=8); the dense (w=1) parity config is reported as a
-    secondary number."""
+def _batches(rs, batch, read_len):
     import jax
 
-    from .classify.engine import DeviceIndex, make_classify_fn, pad_batch
+    from .classify.engine import pad_batch
+    b1 = pad_batch(rs.seqs[:batch], batch, read_len)
+    b2 = pad_batch(rs.mates[:batch], batch, read_len)
+    return jax.device_put(b1), jax.device_put(b2)
+
+
+def run_bench(config_path=None, overrides=(), n_reads=100_000,
+              batch=16_384, read_len=150, rounds=4,
+              minimizer_w=8) -> dict:
+    """HEADLINE ONLY (see module docstring): steady-state device throughput
+    of the minimizer production config (SEMANTICS.md §3, w=8) + continuous
+    golden bit-parity. Returns the driver's one-line JSON dict. The dense
+    (w=1) parity config and other extras live in :func:`run_bench_extras`.
+    """
+    import jax
+
+    from .classify.engine import DeviceIndex, make_classify_fn
     from .index import build_index
 
     tax, genomes, idx_dense, rs = make_bench_world(n_reads=n_reads,
@@ -210,11 +249,7 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     idx = build_index(genomes, tax, k=idx_dense.meta.k, w=minimizer_w)
     di = DeviceIndex.from_index(idx, confidence_threshold=0.0)
     fn = make_classify_fn(di.cfg, paired=True)
-
-    b1 = pad_batch(rs.seqs[:batch], batch, read_len)
-    b2 = pad_batch(rs.mates[:batch], batch, read_len)
-    d1 = jax.device_put(b1)
-    d2 = jax.device_put(b2)
+    d1, d2 = _batches(rs, batch, read_len)
 
     step, compile_sec, out, overhead = _measure(fn, di.tables, d1, d2,
                                                 rounds=rounds)
@@ -228,26 +263,6 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
                 batch)
     parity = _golden_parity(out, idx, rs, n_par, 0.0)
 
-    # Dense parity config (w=1): same genomes/reads.
-    dense_detail = {}
-    if with_dense:
-        di_d = DeviceIndex.from_index(idx_dense, confidence_threshold=0.0)
-        fn_d = make_classify_fn(di_d.cfg, paired=True)
-        step_d, _, out_d, _ = _measure(fn_d, di_d.tables, d1, d2,
-                                       rounds=rounds)
-        taxa_d = np.asarray(out_d["taxon"])
-        truth = rs.truth[:batch]
-        ok_d = ((taxa_d == truth)
-                | tax.is_ancestor_or_self(np.abs(taxa_d), truth)).mean()
-        dense_detail = {
-            "dense_reads_per_sec": round(batch / step_d, 1),
-            "dense_step_ms": round(step_d * 1e3, 3),
-            "dense_ancestor_consistency": round(float(ok_d), 4),
-            "dense_index": repr(idx_dense),
-            "dense_parity_vs_golden": _golden_parity(out_d, idx_dense, rs,
-                                                     n_par, 0.0),
-        }
-
     # Sanity: classification quality on this batch (not part of the metric).
     taxa = np.asarray(out["taxon"])
     truth = rs.truth[:batch]
@@ -255,15 +270,21 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
           | tax.is_ancestor_or_self(np.abs(taxa), truth)).mean()
 
     k = idx.meta.k
-    # Speed-of-light model: one random row fetch per probed position; a
-    # random HBM access moves at least one 512 B transaction regardless of
-    # row payload, so roofline = HBM_BW / (rows_per_read × max(row, 512 B)).
+    # Speed-of-light model, two bounds (VERDICT r2 weak #8):
+    # - HBM roofline: each probed position fetches one fused bucket row of
+    #   16 B/slot × ways — the minimum bytes that must move from HBM.
+    # - measured gather ceiling: XLA's observed random-row-gather issue
+    #   rate (~300M rows/s fast regime, DESIGN.md fact 1) — the nearer,
+    #   empirical bound. vs_baseline uses the HBM roofline (the honest
+    #   "speed of light"); the detail block carries both.
     w = max(minimizer_w, 1)
     rows_per_read = 2 * ((read_len - k + 1) // w)  # paired
-    row_bytes = max(BYTES_PER_PROBE, 512)
+    row_bytes = 16 * di.cfg.ways
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     bw = HBM_BYTES_PER_SEC.get(gen, 819e9)
     roofline = bw / (rows_per_read * row_bytes)
+    gather_ceiling = GATHER_ROWS_PER_SEC / rows_per_read * (
+        1 if di.cfg.n_sub == 1 else 1.0 / di.cfg.n_sub)
 
     return {
         "metric": ("reads/sec/chip (paired-end 16S classify, "
@@ -277,13 +298,62 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
             "step_ms": round(step * 1e3, 3),
             "dispatch_overhead_ms": round(overhead * 1e3, 1),
             "compile_sec": round(compile_sec, 1),
+            "row_bytes": row_bytes,
+            "rows_per_read": rows_per_read,
             "roofline_reads_per_sec": round(roofline, 1),
+            "gather_ceiling_reads_per_sec": round(gather_ceiling, 1),
+            "vs_gather_ceiling": round(reads_per_sec / gather_ceiling, 4),
             "ancestor_consistency": round(float(ok), 4),
             "parity_vs_golden": parity,
             "parity_reads": n_par,
             "index": repr(idx),
             "device": str(jax.devices()[0]),
             "timing": "marginal in-executable (utils.timing)",
-            **dense_detail,
         },
     }
+
+
+def run_bench_extras(n_reads=100_000, batch=16_384, read_len=150,
+                     rounds=4, budget_left=None) -> dict:
+    """Optional post-headline measurements, each gated on remaining budget:
+    the dense (w=1) parity configuration (the one a real reference
+    comparison would run) + its golden parity. Never required for the
+    driver's JSON line."""
+    from .classify.engine import DeviceIndex, make_classify_fn
+
+    t0 = time.time()
+
+    def left():
+        return None if budget_left is None else budget_left - (time.time() - t0)
+
+    tax, genomes, idx_dense, rs = make_bench_world(n_reads=n_reads,
+                                                   read_len=read_len)
+    d1, d2 = _batches(rs, batch, read_len)
+    out = {}
+
+    di_d = DeviceIndex.from_index(idx_dense, confidence_threshold=0.0)
+    fn_d = make_classify_fn(di_d.cfg, paired=True)
+    step_d, compile_d, out_d, _ = _measure(fn_d, di_d.tables, d1, d2,
+                                           rounds=rounds)
+    taxa_d = np.asarray(out_d["taxon"])
+    truth = rs.truth[:batch]
+    ok_d = ((taxa_d == truth)
+            | tax.is_ancestor_or_self(np.abs(taxa_d), truth)).mean()
+    out.update({
+        "dense_reads_per_sec": round(batch / step_d, 1),
+        "dense_step_ms": round(step_d * 1e3, 3),
+        "dense_compile_sec": round(compile_d, 1),
+        "dense_ancestor_consistency": round(float(ok_d), 4),
+        "dense_index": repr(idx_dense),
+        "dense_n_sub": di_d.cfg.n_sub,
+        "dense_ways": di_d.cfg.ways,
+    })
+    lf = left()
+    if lf is None or lf > 60:
+        n_par = min(int(os.environ.get("PANGEA_BENCH_PARITY_READS",
+                                       "2048")), batch)
+        out["dense_parity_vs_golden"] = _golden_parity(
+            out_d, idx_dense, rs, n_par, 0.0)
+    else:
+        out["dense_parity_vs_golden"] = "skipped (budget)"
+    return out

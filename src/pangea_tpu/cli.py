@@ -28,14 +28,8 @@ def main(argv=None) -> int:
 
     # Persistent XLA compile cache: the classify program is large and its
     # compile is minutes on some PJRT backends; cache across processes.
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/pangea_tpu/jax_cache"))
-    if cache != "0":
-        import jax
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     p = argparse.ArgumentParser(prog="pangea-tpu",
                                 description=__doc__,

@@ -49,9 +49,14 @@ _DIRECT_LCA_MAX_TAXA = 4096
 # ~500 G-compares/s (2.2 ms at B=16384, P=260) while the sort-rank form
 # pays lax.sort's price (156 ms at the same shape — TPU sorts are slow), so
 # quadratic wins everywhere its B·P² intermediate stays addressable.
-# Sort-rank exists for the long-read buckets, where P reaches 10^4+ and the
-# quadratic's B·P² work/memory explodes.
+# When B·P² exceeds the bound, the batch is CHUNKED into ≤⌊2³¹/P²⌋-row
+# slices and the quadratic runs per slice under lax.map — bit-identical,
+# bounded intermediate, still ~P²/(P log P)·(500G/sort-rate) faster than
+# the sort form (VERDICT r2 #3: the silent 70x cliff at B·P² = 2³¹ is
+# gone). Sort-rank remains only for long-read buckets where P itself is
+# huge (> _RANKED_MIN_P) and the quadratic's per-row P² work explodes.
 _QUAD_PSCORE_MAX_ELEMS = 2**31
+_RANKED_MIN_P = 2048
 
 
 def _pscore_quadratic(t_in, t_out, hit):
@@ -75,12 +80,47 @@ def _pscore_ranked(t_in, t_out, hit):
     return (rank(tin_s, t_in) - rank(tout_s, t_in)).astype(jnp.int32)
 
 
+def _pscore_quad_chunked(t_in, t_out, hit,
+                         max_elems=_QUAD_PSCORE_MAX_ELEMS):
+    """Quadratic pscore over row chunks of the batch: each lax.map step
+    computes the [Bc, P, P] containment sum with Bc·P² ≤ max_elems.
+    Bit-identical to _pscore_quadratic (integer counts, row-independent)."""
+    B, P = t_in.shape
+    bc = max(int(max_elems) // (P * P), 1)
+    bc = 1 << (bc.bit_length() - 1)          # power of two → even chunks
+    bc = min(bc, B)
+    nch = -(-B // bc)
+    pad = nch * bc - B
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, P), x.dtype)])
+        return x.reshape(nch, bc, P)
+
+    out = jax.lax.map(lambda a: _pscore_quadratic(*a),
+                      (prep(t_in), prep(t_out), prep(hit)))
+    return out.reshape(nch * bc, P)[:B]
+
+
 def _pscore(t_in, t_out, hit):
     impl = os.environ.get("PANGEA_PSCORE", "auto")
     B, P = t_in.shape
     if impl == "quad" or (impl == "auto"
                           and B * P * P <= _QUAD_PSCORE_MAX_ELEMS):
         return _pscore_quadratic(t_in, t_out, hit)
+    if impl == "auto" and P <= _RANKED_MIN_P:
+        import logging
+        logging.getLogger(__name__).info(
+            "pscore: B*P^2 = %d*%d^2 > 2^31 — chunked quadratic "
+            "(%d-row slices)", B, P, max(2**31 // (P * P), 1))
+        return _pscore_quad_chunked(t_in, t_out, hit)
+    if impl == "auto":
+        import logging
+        logging.getLogger(__name__).warning(
+            "pscore: P = %d > %d (long-read bucket) — O(P log P) "
+            "sort-rank form (lax.sort is ~70x slower per element than "
+            "the fused quadratic; expected only for long-read buckets)",
+            P, _RANKED_MIN_P)
     return _pscore_ranked(t_in, t_out, hit)
 
 

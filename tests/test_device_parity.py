@@ -258,3 +258,54 @@ def test_query_minimizers_subset_of_build(w=8):
     pos, wvalid = disjoint_query_minimizers(canon, valid, w)
     query_sel = set(canon[pos[wvalid]].tolist())
     assert query_sel <= build_sel
+
+
+def test_pscore_chunked_bit_exact(world):
+    """The chunked-quadratic pscore (VERDICT r2 #3: replaces the silent
+    70x sort-rank fallback past B*P^2 = 2^31) must equal both the plain
+    quadratic and the sort-rank form on real laminar Euler intervals."""
+    from pangea_tpu.kernels.score import (_pscore_quad_chunked,
+                                          _pscore_quadratic, _pscore_ranked)
+    tax, _, _, _ = world
+    rng = np.random.default_rng(11)
+    B, P = 37, 19                      # odd sizes exercise the pad path
+    taxa = rng.integers(0, tax.num_taxa + 1, size=(B, P)).astype(np.int32)
+    hit = jnp.array(taxa != 0)
+    t_in = jnp.array(tax.tin[taxa])
+    t_out = jnp.array(tax.tout[taxa])
+    want = np.asarray(_pscore_quadratic(t_in, t_out, hit))
+    # tiny max_elems forces many chunks (bc = 1 and bc = 4 regimes)
+    for me in (P * P, 4 * P * P, 10**9):
+        got = np.asarray(_pscore_quad_chunked(t_in, t_out, hit,
+                                              max_elems=me))
+        np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(_pscore_ranked(t_in, t_out, hit))[np.asarray(hit)],
+        want[np.asarray(hit)])
+
+
+def test_pscore_auto_selects_chunked(world, monkeypatch):
+    """auto must route big-B*P^2 / small-P shapes to the chunked quadratic
+    (not sort-rank), and huge-P shapes to sort-rank."""
+    from pangea_tpu.kernels import score as score_mod
+    calls = []
+    real = score_mod._pscore_quad_chunked
+
+    def spy(*a, **kw):
+        calls.append("chunked")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(score_mod, "_pscore_quad_chunked", spy)
+    monkeypatch.delenv("PANGEA_PSCORE", raising=False)
+    tax, _, _, _ = world
+    rng = np.random.default_rng(12)
+    P = 512                            # P <= _RANKED_MIN_P, B*P^2 > 2^31
+    B = 2**31 // (P * P) + 7
+    taxa = rng.integers(0, tax.num_taxa + 1, size=(B, P)).astype(np.int32)
+    hit = jnp.array(taxa != 0)
+    t_in = jnp.array(tax.tin[taxa])
+    t_out = jnp.array(tax.tout[taxa])
+    got = np.asarray(score_mod._pscore(t_in, t_out, hit))
+    assert calls == ["chunked"]
+    want = np.asarray(score_mod._pscore_quadratic(t_in, t_out, hit))
+    np.testing.assert_array_equal(got, want)
