@@ -41,6 +41,12 @@ class ClassifyConfig:
     # (2/300M < 1/88M per query). Same owner rule as mesh sharding —
     # results are bit-identical (disjoint supports sum).
     n_sub: int = 1
+    # Table layout: "std" = 16 B/slot fused rows (lookup_jnp);
+    # "q8" = 8 B/slot quotiented-key rows (lookup_q8_jnp) — halves row
+    # bytes so mid-size tables fit the fast-gather regime in ONE probe.
+    # q8 is single-shard only (n_shards == n_sub == 1) and requires
+    # 2k − log2(NB) ≤ 31 and 16-bit Euler stamps (see kernels.lookup).
+    layout: str = "std"
 
 
 from ..index.build import choose_n_sub  # fast-regime policy (one source)
@@ -54,8 +60,8 @@ class DeviceIndex:
     'shard' axis (fused row layout: see kernels.lookup.fuse_table)."""
     # n_sub == 1: single arrays; n_sub > 1: tuples of n_sub arrays (one
     # device buffer per sub-table — see from_index for why that matters).
-    fused: jnp.ndarray    # uint32 [n_shards, NB, 3W] (or tuple thereof)
-    stash: jnp.ndarray    # uint32 [n_shards, 3, S] overflow (S may be 0)
+    fused: jnp.ndarray    # uint32 [n_shards, NB, 4W|6W] (or tuple thereof)
+    stash: jnp.ndarray    # uint32 [n_shards, 5, S] overflow (S may be 0)
     tax: dict             # tin/tout/parent/depth [T+1], up [levels, T+1]
     cfg: ClassifyConfig
 
@@ -63,12 +69,37 @@ class DeviceIndex:
     def from_index(cls, index: Index, n_shards: int = 1,
                    confidence_threshold: float = 0.0,
                    device_put: bool = True,
-                   n_sub: int | None = None) -> "DeviceIndex":
+                   n_sub: int | None = None,
+                   layout: str | None = None) -> "DeviceIndex":
         """n_sub: sub-tables per shard (see ClassifyConfig.n_sub); None =
-        auto (choose_n_sub; PANGEA_NSUB env overrides for experiments)."""
+        auto (choose_n_sub; PANGEA_NSUB env overrides for experiments).
+        layout: "std" | "q8" | None = auto (choose q8 when the std layout
+        would miss the single-table fast-gather regime and q8 fits it;
+        PANGEA_LAYOUT env overrides)."""
         import os
 
+        from ..index.build import q8_plan
         from ..kernels.lookup import fuse_stash, fuse_table
+        if layout is None:
+            layout = os.environ.get("PANGEA_LAYOUT", "auto")
+        if layout not in ("std", "q8", "auto"):
+            raise ValueError(f"unknown layout {layout!r}")
+        tout_max = int(index.taxonomy.tout.max(initial=0))
+        can_q8 = (n_shards == 1 and os.environ.get("PANGEA_NSUB") is None
+                  and q8_plan(index.meta.n_kmers, index.meta.k,
+                              tout_max) is not None)
+        if layout == "q8" and not can_q8:
+            raise ValueError("q8 layout requested but ineligible "
+                             "(sharded, PANGEA_NSUB set, rem > 31 bits, "
+                             "or Euler stamps > 16 bits)")
+        if layout == "auto":
+            from ..index.build import _fits_fast
+            std_fast = _fits_fast(max(index.meta.n_kmers // n_shards, 1),
+                                  index.meta.ways)
+            layout = "q8" if (can_q8 and not std_fast) else "std"
+        if layout == "q8":
+            return cls._from_index_q8(index, confidence_threshold,
+                                      device_put)
         if n_sub is None:
             env = os.environ.get("PANGEA_NSUB")
             n_sub = int(env) if env else choose_n_sub(
@@ -105,6 +136,32 @@ class DeviceIndex:
         )
         return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
+    @classmethod
+    def _from_index_q8(cls, index: Index, confidence_threshold: float,
+                       device_put: bool) -> "DeviceIndex":
+        """q8 quotiented-key layout (kernels.lookup.q8_layout): re-lay the
+        index's (kmer, taxon) pairs as one 8 B/slot single-probe table.
+        Host relayout of ~10^6-10^7 pairs is vectorized numpy, seconds."""
+        from ..index.shard import extract_pairs
+        from ..kernels.lookup import _Q8_WAYS, fuse_stash, q8_layout
+        canon, taxa = extract_pairs(index)
+        tin, tout = index.taxonomy.tin, index.taxonomy.tout
+        out = q8_layout(canon, taxa, tin, tout, index.meta.k)
+        assert out is not None, "q8_layout ineligible (checked by caller)"
+        fusedq, stash3, _nb = out
+        fused = fusedq[None]                      # [1, NB, 2W]
+        stash = fuse_stash(stash3, tin, tout)[None]
+        tax = index.taxonomy.device_arrays()
+        if device_put:
+            fused = jax.device_put(fused)
+            stash = jax.device_put(stash)
+            tax = {k: jax.device_put(v) for k, v in tax.items()}
+        cfg = ClassifyConfig(
+            k=index.meta.k, n_shards=1,
+            confidence_threshold=confidence_threshold,
+            w=index.meta.w, ways=_Q8_WAYS, n_sub=1, layout="q8")
+        return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
+
     @property
     def tables(self) -> dict:
         return {"fused": self.fused, "stash": self.stash, "tax": self.tax}
@@ -123,8 +180,9 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     """bases (and optional mate_bases) → ((taxon, t_in, t_out) int32
     [B, P], nvalid int32 [B]) on ONE shard's table
     (tables["fused"]/["stash"] already sliced to this shard: [NB, 4W|6W] /
-    [5, S], or tuples of n_sub such arrays — see _shard_view). Inputs are int8 [B, L] code matrices, or — when packed_len=L
-    is given — uint32 [B, W16+W32] packed wire rows (encode.unpack_wire;
+    [5, S], or tuples of n_sub such arrays — see _shard_view). Inputs are
+    int8 [B, L] code matrices, or — when packed_len=L is given —
+    uint32 [B, W16+W32] packed wire rows (encode.unpack_wire;
     2.5x less host→device traffic). Mates are concatenated at the k-mer
     level (SEMANTICS.md §8) BEFORE the lookup: one big gather runs
     measurably faster than two half-size ones on v5e."""
@@ -146,7 +204,14 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     hi = his[0] if len(parts) == 1 else jnp.concatenate(his, axis=1)
     lo = los[0] if len(parts) == 1 else jnp.concatenate(los, axis=1)
     valid = vals[0] if len(parts) == 1 else jnp.concatenate(vals, axis=1)
-    if cfg.n_sub > 1:
+    if cfg.layout == "q8":
+        # q8 quotiented-key table: ONE 8 B/slot row gather; the hit
+        # indicator stands in for the taxon lane (node ids recovered by
+        # score_reads_tin_jnp at the [B] level). Single-shard by contract.
+        from ..kernels.lookup import lookup_q8_jnp
+        hits = lookup_q8_jnp(hi, lo, valid, tables["fused"],
+                             tables["stash"], k=cfg.k, ways=cfg.ways)
+    elif cfg.n_sub > 1:
         # Sub-table split (ClassifyConfig.n_sub): probe each fast-regime
         # sub-table for all queries; the owner rule makes supports
         # disjoint, so the (taxon, tin, tout) triples sum exactly —
@@ -179,6 +244,9 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
     in shard_map with a psum hit merge.
     """
 
+    from ..kernels import score_reads_tin_jnp
+    score = score_reads_tin_jnp if cfg.layout == "q8" else score_reads_jnp
+
     def fn(tables, bases, mate_bases=None):
         t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
              "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
@@ -186,8 +254,8 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
         hits, nvalid = hits_single_shard(t, bases, cfg,
                                          mate_bases=mate_bases,
                                          packed_len=packed_len)
-        return score_reads_jnp(hits, nvalid, tables["tax"],
-                               cfg.confidence_threshold)
+        return score(hits, nvalid, tables["tax"],
+                     cfg.confidence_threshold)
 
     if paired:
         return jax.jit(fn)

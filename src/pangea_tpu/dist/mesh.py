@@ -107,7 +107,23 @@ def place_index(index: Index, mesh: Mesh,
 def _place_sharded_streaming(sidx, mesh: Mesh,
                              confidence_threshold: float) -> DeviceIndex:
     """One-shard-at-a-time fuse + device placement from the sharded on-disk
-    container (bit-identical arrays to the in-RAM stack_parts+fuse path)."""
+    container (bit-identical arrays to the in-RAM stack_parts+fuse path).
+
+    RAM discipline (VERDICT r2 #5: the callback-based path peaked at
+    102 GB for a 25.8 GB index): shards are fused ONE at a time, shipped
+    straight to the devices that own them (``device_put`` per device +
+    ``make_array_from_single_device_arrays`` — no stacked host array ever
+    exists), the fused temporary is freed before the next shard, and
+    shards owned by no addressable device (other hosts' shards on a
+    multi-host pod) are never touched. Host peak beyond the mmap'd source
+    is ~one fused shard. On the CPU-sim backend "device" buffers are
+    themselves host RAM, so RSS additionally counts the placed table once
+    — irreducible there, absent on real TPUs where the table lands in HBM.
+
+    Note: this path intentionally skips the n_sub fast-regime split
+    (engine.choose_n_sub) — streamed shards are assumed RefSeq-scale,
+    far beyond the 34-68 MB band where the split pays (a log line fires
+    if a shard would in fact qualify)."""
     from ..index.container import EMPTY_HI
     from ..kernels.lookup import fuse_stash, fuse_table
 
@@ -119,18 +135,27 @@ def _place_sharded_streaming(sidx, mesh: Mesh,
     tin, tout = sidx.taxonomy.tin, sidx.taxonomy.tout
     packed = int(tout.max(initial=0)) <= 0xFFFF
     fused_w = 4 * W if packed else 6 * W
+    if nb_max <= (1 << 16) and nb_max * fused_w * 4 <= (36 << 20):
+        import logging
+        logging.getLogger(__name__).info(
+            "streamed shards fit the fast-gather regime (%d rows, %.1f MB)"
+            " — the n_sub split is not applied on this path", nb_max,
+            nb_max * fused_w * 4 / 1e6)
+
+    open_shard = getattr(sidx, "open_shard", lambda s: sidx.shards[s])
 
     def fuse_one(s: int) -> np.ndarray:
-        khi, klo, val, st = sidx.shards[s]
-        reps = nb_max // khi.shape[0]
+        # open_shard: fresh transient mmaps, munmapped on return — resident
+        # file pages stay bounded by ~one shard across the whole placement.
+        khi, klo, val, _st = open_shard(s)
+        f = fuse_table(khi, klo, val, tin, tout)
+        reps = nb_max // f.shape[0]
         if reps > 1:     # sub-table replication — see shard.stack_parts
-            khi = np.tile(khi, (reps, 1))
-            klo = np.tile(klo, (reps, 1))
-            val = np.tile(val, (reps, 1))
-        return fuse_table(khi, klo, val, tin, tout)
+            f = np.tile(f, (reps, 1))
+        return f
 
     def stash_one(s: int) -> np.ndarray:
-        st = np.asarray(sidx.shards[s][3])
+        st = np.asarray(open_shard(s)[3])
         if st.shape[1] < s_max:   # pad: EMPTY_HI keys never match
             pad = np.zeros((3, s_max - st.shape[1]), dtype=np.uint32)
             pad[0] = EMPTY_HI
@@ -139,14 +164,23 @@ def _place_sharded_streaming(sidx, mesh: Mesh,
 
     tab_sharding = NamedSharding(mesh, P(SHARD_AXIS, None, None))
     rep_sharding = NamedSharding(mesh, P())
-    fused = jax.make_array_from_callback(
-        (S, nb_max, fused_w), tab_sharding,
-        lambda idx: np.stack([fuse_one(s) for s in
-                              range(*idx[0].indices(S))]))
-    stash = jax.make_array_from_callback(
-        (S, 5, s_max), tab_sharding,
-        lambda idx: np.stack([stash_one(s) for s in
-                              range(*idx[0].indices(S))]))
+    dev_grid = np.asarray(mesh.devices)          # [n_data, n_shard]
+    proc = jax.process_index()
+    bufs_f, bufs_st = [], []
+    for s in range(S):
+        owners = [d for d in dev_grid[:, s] if d.process_index == proc]
+        if not owners:
+            continue                             # another host's shard
+        f = fuse_one(s)[None]                    # [1, nb_max, fused_w]
+        st = stash_one(s)[None]
+        for d in owners:
+            bufs_f.append(jax.device_put(f, d))
+            bufs_st.append(jax.device_put(st, d))
+        del f, st                                # free before next shard
+    fused = jax.make_array_from_single_device_arrays(
+        (S, nb_max, fused_w), tab_sharding, bufs_f)
+    stash = jax.make_array_from_single_device_arrays(
+        (S, 5, s_max), tab_sharding, bufs_st)
     tax = {k: jax.device_put(v, rep_sharding)
            for k, v in sidx.taxonomy.device_arrays().items()}
     cfg = ClassifyConfig(k=meta.k, n_shards=S,
@@ -167,6 +201,7 @@ def _local_classify(tables, bases, mate_bases, cfg: ClassifyConfig,
     (ICI all-reduce; SEMANTICS.md §5.1, §11), then scoring. Local table
     views: fused [1, NB, 4W|6W] (tuple of such when n_sub > 1)."""
     from ..classify.engine import _shard_view
+    from ..kernels import score_reads_tin_jnp
     t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
          "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
          "tax": tables["tax"]}
@@ -175,8 +210,10 @@ def _local_classify(tables, bases, mate_bases, cfg: ClassifyConfig,
                                      mate_bases=mate_bases if paired
                                      else None, packed_len=packed_len)
     hits = jax.lax.psum(hits, SHARD_AXIS)
-    return score_reads_jnp(hits, nvalid, tables["tax"],
-                           cfg.confidence_threshold)
+    # q8 hits are (hit_indicator, tin, tout) — all int32, psum-safe on the
+    # size-1 shard axis q8 is restricted to (ClassifyConfig.layout).
+    score = score_reads_tin_jnp if cfg.layout == "q8" else score_reads_jnp
+    return score(hits, nvalid, tables["tax"], cfg.confidence_threshold)
 
 
 def _replicate_over_data(out):
@@ -195,7 +232,8 @@ def _tab_specs(cfg: ClassifyConfig) -> dict:
     return {"fused": tab, "stash": tab,
             "tax": jax.tree.map(lambda _: P(), {"tin": 0, "tout": 0,
                                                 "parent": 0, "depth": 0,
-                                                "up": 0})}
+                                                "up": 0,
+                                                "tin2node": 0})}
 
 
 def make_multik_sharded_classify_fn(cfgs, mesh: Mesh, paired: bool = False,

@@ -98,7 +98,7 @@ def _est_table(n: int, ways: int, load_factor: float):
     return nb, nb * ways * 16              # fused row = 16 B/slot
 
 
-def _fits_fast(n: int, ways: int, load_factor: float) -> bool:
+def _fits_fast(n: int, ways: int, load_factor: float = 0.5) -> bool:
     nb, by = _est_table(n, ways, load_factor)
     return nb <= FAST_ROWS and by <= FAST_BYTES
 
@@ -113,6 +113,27 @@ def choose_n_sub(n_kmers_per_shard: int, ways: int,
     if _fits_fast((n_kmers_per_shard + 1) // 2, ways, load_factor):
         return 2
     return 1
+
+
+def q8_plan(n_kmers: int, k: int, tout_max: int,
+            load_factor: float = 0.5, ways: int = 64) -> int | None:
+    """Eligibility of the q8 quotiented-key device layout (8 B/slot,
+    kernels.lookup.q8_layout): returns the expected bucket count when a
+    q8 table would land ENTIRELY in the fast-gather regime with a single
+    probe, else None. Requires the quotient remainder to fit 31 bits
+    (2k − log2 NB ≤ 31) and 16-bit Euler stamps."""
+    if tout_max > 0xFFFF:
+        return None
+    nb = 8
+    while nb * ways * load_factor < max(n_kmers, 1):
+        nb *= 2
+    while 2 * k - (nb.bit_length() - 1) > 31 and nb <= (1 << 26):
+        nb *= 2                 # widen NB to shrink the remainder
+    if 2 * k - (nb.bit_length() - 1) > 31:
+        return None
+    if nb <= FAST_ROWS and nb * ways * 8 <= FAST_BYTES:
+        return nb
+    return None
 
 
 def auto_ways(n_kmers: int, load_factor: float = 0.5) -> int:

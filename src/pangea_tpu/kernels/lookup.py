@@ -150,3 +150,175 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
         t_out = t_out + jnp.sum(jnp.where(shit, sv[2][None, :], 0), axis=-1)
     return (taxon.reshape(shape), t_in.reshape(shape),
             t_out.reshape(shape))
+
+
+# ---------------------------------------------------------------- q8 layout
+# Quotiented-key single-probe layout (VERDICT r2 #6a, DESIGN.md round 3):
+# a slot stores 8 bytes — a 32-bit quotient REMAINDER + the packed
+# (tin<<16|tout) Euler payload — instead of the 16-byte (hi, lo, val, pk)
+# lane set. Halving slot bytes doubles the k-mers a fast-gather-regime
+# table (≤2^16 rows AND ≤~34 MB, DESIGN.md fact 1) can hold: the dense
+# (w=1) k=21 parity index becomes ONE [2^16, 512 B] single-probe table
+# instead of two probed sub-tables or one slow 2^18-row table.
+#
+# Exactness: the canonical k-mer K (2k bits) is mapped by the BIJECTIVE
+# mix h = (K * A) mod 2^(2k) (A odd); bucket = top log2(NB) bits of h,
+# rem = the low r = 2k - log2(NB) bits. (bucket, rem) <-> K is a bijection,
+# so a rem match in the home bucket identifies exactly one k-mer — no
+# false positives for ANY query, in or out of the table. Requires r <= 31
+# (rem fits a lane below the 0xFFFFFFFF empty sentinel) and 16-bit Euler
+# stamps; taxon ids are recovered from tin at the [B] level by the scorer
+# (kernels.score.score_reads_tin_jnp), never via [B, P] gathers.
+_Q8_A = _np.uint64(0x9E3779B1)        # odd (2^32/golden-ratio, Knuth)
+_Q8_WAYS = 64                         # 8 B x 64 = 512 B fused rows
+
+
+def q8_hash_np(canon: _np.ndarray, k: int) -> _np.ndarray:
+    """h = (K * A) mod 2^(2k) — the bijective quotient mix (numpy side)."""
+    m = 2 * k
+    mask = _np.uint64((1 << m) - 1)
+    return (canon.astype(_np.uint64) * _Q8_A) & mask
+
+
+def q8_rem_bits(k: int, nb: int) -> int:
+    return 2 * k - (nb.bit_length() - 1)
+
+
+def q8_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q8_WAYS,
+              load_factor: float = 0.5, stash_max: int = 128):
+    """Lay (kmer -> taxon) pairs out as the q8 table.
+
+    Returns (fused uint32 [NB, 2W] — lanes [0,W): rem, [W,2W): pk —
+    stash uint32 [3, S] standard (hi, lo, val-bits) rows, nb) or None when
+    the layout is ineligible (rem would exceed 31 bits at the required NB,
+    or Euler stamps exceed 16 bits). Deterministic: ascending canonical
+    k-mers claim free lanes of their bucket in ascending lane order;
+    bucket overflow goes to the stash in ascending canonical order; a
+    stash overflow doubles NB (shrinking r) and restarts.
+    """
+    kmers = _np.asarray(kmers, dtype=_np.uint64)
+    taxa = _np.asarray(taxa, dtype=_np.int32)
+    tin = _np.asarray(tin, dtype=_np.int32)
+    tout = _np.asarray(tout, dtype=_np.int32)
+    if int(tout.max(initial=0)) > 0xFFFF:
+        return None
+    n = kmers.shape[0]
+    if n > 1 and not (kmers[1:] > kmers[:-1]).all():
+        order = _np.argsort(kmers, kind="stable")
+        kmers, taxa = kmers[order], taxa[order]
+    h = q8_hash_np(kmers, k)
+    nb = 8
+    while nb * ways * load_factor < max(n, 1):
+        nb *= 2
+    # A too-wide remainder is fixed by MORE buckets (r = 2k - log2 NB);
+    # cap growth so k=31 (r ≤ 31 needs NB ≥ 2^31) stays ineligible.
+    while q8_rem_bits(k, nb) > 31 and nb <= (1 << 26):
+        nb *= 2
+    while True:
+        r = q8_rem_bits(k, nb)
+        if r > 31:
+            return None
+        if r < 0:
+            nb = 1 << (2 * k)      # more buckets than kmer values: clamp
+            r = 0
+        b = (h >> _np.uint64(r)).astype(_np.int64)
+        rem = (h & _np.uint64((1 << r) - 1)).astype(_np.uint32)
+        order = _np.argsort(b, kind="stable")
+        bs = b[order]
+        newgrp = _np.concatenate([[True], bs[1:] != bs[:-1]]) if n else \
+            _np.zeros(0, bool)
+        grp = _np.cumsum(newgrp) - 1 if n else _np.zeros(0, _np.int64)
+        first = _np.flatnonzero(newgrp)
+        rank = _np.arange(n) - first[grp] if n else _np.zeros(0, _np.int64)
+        place = rank < ways
+        over = _np.sort(order[~place])          # ascending canonical
+        if over.size > stash_max and r > 0:
+            nb *= 2
+            continue
+        fused = _np.zeros((nb, 2 * ways), dtype=_np.uint32)
+        fused[:, :ways] = _EMPTY_HI             # empty rem sentinel
+        ks = order[place]
+        val = taxa[ks]
+        pk = (tin[val].astype(_np.uint32) << _np.uint32(16)) \
+            | tout[val].astype(_np.uint32)
+        fused[bs[place], rank[place]] = rem[ks]
+        fused[bs[place], ways + rank[place]] = pk
+        if over.size:
+            stash = _np.stack([
+                (kmers[over] >> _np.uint64(32)).astype(_np.uint32),
+                (kmers[over] & _np.uint64(0xFFFFFFFF)).astype(_np.uint32),
+                taxa[over].view(_np.uint32)])
+        else:
+            stash = _np.zeros((3, 0), dtype=_np.uint32)
+        return fused, stash, nb
+
+
+def _umulh32_jnp(a, b_const: int):
+    """High 32 bits of a (uint32 array) x b (uint32 constant) — 16-bit
+    schoolbook; TPUs have no widening 32-bit multiply in jnp."""
+    M = jnp.uint32(0xFFFF)
+    a0, a1 = a & M, a >> jnp.uint32(16)
+    b0 = jnp.uint32(b_const & 0xFFFF)
+    b1 = jnp.uint32(b_const >> 16)
+    ll = a0 * b0
+    mid = a1 * b0 + a0 * b1          # can wrap uint32: track the carry
+    carry_mid = (mid < a1 * b0).astype(jnp.uint32)
+    lo = ll + (mid << jnp.uint32(16))
+    carry_lo = (lo < ll).astype(jnp.uint32)
+    return (a1 * b1 + (mid >> jnp.uint32(16))
+            + (carry_mid << jnp.uint32(16)) + carry_lo)
+
+
+def lookup_q8_jnp(hi, lo, valid, fused, stash, *, k: int,
+                  ways: int = _Q8_WAYS):
+    """Probe a q8 table (single shard only — see engine.ClassifyConfig).
+
+    hi/lo/valid: uint32/bool [B, P] (or flat) from extract_kmers_jnp.
+    fused: uint32 [NB, 2W] q8 rows (q8_layout).
+    stash: uint32 [5, S] fused overflow rows (fuse_stash; full-key rows).
+    Returns (hit, t_in, t_out) int32 like hi — hit is 1 at hits, 0
+    elsewhere (the q8 row carries no taxon id; the scorer recovers node
+    ids from tin via tax_arrays['tin2node'] at the [B] level).
+    """
+    nb = fused.shape[0]
+    W = ways
+    m = 2 * k
+    r = m - (nb.bit_length() - 1)
+    assert 0 <= r <= 31, "q8 table with out-of-range rem width"
+    shape = hi.shape
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
+    # h = (K * A) mod 2^m via 32-bit limbs (m > 32) or one wrap (m <= 32).
+    A = int(_Q8_A)
+    if m <= 32:
+        h_lo = (lo * jnp.uint32(A)) & jnp.uint32((1 << m) - 1)
+        h_hi = jnp.zeros_like(h_lo)
+    else:
+        h_lo = lo * jnp.uint32(A)
+        h_hi = (_umulh32_jnp(lo, A) + hi * jnp.uint32(A)) \
+            & jnp.uint32((1 << (m - 32)) - 1)
+    if r == 0:
+        rem = jnp.zeros_like(h_lo)
+        b = h_lo.astype(jnp.int32)           # m <= 32 whenever r == 0
+    else:
+        rem = h_lo & jnp.uint32((1 << r) - 1)
+        b = ((h_hi << jnp.uint32(32 - r)) | (h_lo >> jnp.uint32(r))) \
+            .astype(jnp.int32)
+
+    rows = fused[b]                          # [N, 2W] — THE row gather
+    hitlane = valid[:, None] & (rows[:, :W] == rem[:, None])
+    pk = jnp.sum(jnp.where(hitlane, rows[:, W:], jnp.uint32(0)), axis=-1)
+    t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
+    t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hit = jnp.any(hitlane, axis=-1).astype(jnp.int32)
+
+    S = stash.shape[1]
+    if S:                                    # full-key parallel stash scan
+        shit = (valid[:, None] & (hi[:, None] == stash[0][None, :])
+                & (lo[:, None] == stash[1][None, :]))
+        sv = jax.lax.bitcast_convert_type(stash[3:], jnp.int32)
+        t_in = t_in + jnp.sum(jnp.where(shit, sv[0][None, :], 0), axis=-1)
+        t_out = t_out + jnp.sum(jnp.where(shit, sv[1][None, :], 0), axis=-1)
+        hit = hit + jnp.sum(shit.astype(jnp.int32), axis=-1)
+    return (hit.reshape(shape), t_in.reshape(shape), t_out.reshape(shape))

@@ -207,3 +207,38 @@ def score_reads_jnp(hits, nvalid, tax_arrays, confidence_threshold):
         jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
     out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)
     return {"taxon": out_taxon, "best": best, "nvalid": nvalid}
+
+
+def score_reads_tin_jnp(hits, nvalid, tax_arrays, confidence_threshold):
+    """q8-path scorer: hits = (hit_indicator, t_in, t_out) int32 [B, P] —
+    the q8 table row stores no taxon id (kernels.lookup q8 layout), so
+    node ids are recovered from the winner Euler tins at the [B] level:
+    the direct-LCA interval scan already yields node ids, and the
+    binary-lifting path uses two [B]-sized tax_arrays['tin2node'] gathers
+    ([B, P] gathers are the expensive kind — DESIGN.md fact 3; [B] ones
+    are noise). Bit-exact with score_reads_jnp given equivalent hits
+    (tested in test_q8.py)."""
+    ind, t_in, t_out = hits
+    hit = ind != 0
+    pscore = jnp.where(hit, _pscore(t_in, t_out, hit), jnp.int32(0))
+    best = jnp.max(pscore, axis=1)                            # [B]
+    winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
+    tin_u = jnp.min(jnp.where(winner, t_in, _I32_MAX), axis=1)
+    tin_v = jnp.max(jnp.where(winner, t_in, jnp.int32(-2)), axis=1)
+    has = best > 0
+    if tax_arrays["tin"].shape[0] <= _DIRECT_LCA_MAX_TAXA:
+        # The direct scan needs u/v only for its ==0 identity fixups;
+        # has-stand-ins give identical selection (both zero iff no winner).
+        hz = has.astype(jnp.int32)
+        assigned = _lca_by_tin_direct(hz, hz, tin_u, tin_v, tax_arrays)
+    else:
+        t2n = tax_arrays["tin2node"]
+        top = jnp.int32(t2n.shape[0] - 1)
+        u = jnp.where(has, t2n[jnp.clip(tin_u, 0, top)], jnp.int32(0))
+        v = jnp.where(has, t2n[jnp.clip(tin_v, 0, top)], jnp.int32(0))
+        assigned = lca_pairs_jnp(u, v, tax_arrays["parent"],
+                                 tax_arrays["depth"], tax_arrays["up"])
+    below = best.astype(jnp.float32) < \
+        jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
+    out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)
+    return {"taxon": out_taxon, "best": best, "nvalid": nvalid}

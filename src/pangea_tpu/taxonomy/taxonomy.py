@@ -295,7 +295,16 @@ class Taxonomy:
             "parent": self.parent.astype(np.int32),
             "depth": self.depth.astype(np.int32),
             "up": self.lifting_table(),
+            # tin -> node-id inverse (q8 scorer path: node ids recovered
+            # from winner tins by [B]-level gathers; kernels/score.py).
+            "tin2node": self._tin2node(),
         }
+
+    def _tin2node(self) -> np.ndarray:
+        inv = np.zeros(int(self.tin.max(initial=0)) + 2, dtype=np.int32)
+        ids = np.arange(1, self.tin.shape[0], dtype=np.int32)
+        inv[self.tin[1:]] = ids
+        return inv
 
     def content_hash(self) -> str:
         """Stable hash binding indexes to the taxonomy they were built with."""

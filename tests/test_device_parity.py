@@ -309,3 +309,33 @@ def test_pscore_auto_selects_chunked(world, monkeypatch):
     assert calls == ["chunked"]
     want = np.asarray(score_mod._pscore_quadratic(t_in, t_out, hit))
     np.testing.assert_array_equal(got, want)
+
+
+def test_multik_merge_three_way_fold(world):
+    """SEMANTICS.md §9: >2 classifiers merge by a LEFT FOLD in index
+    order. Device fold of three results must equal the golden fold."""
+    tax, genomes, idx, rs = world
+    from pangea_tpu.index import build_index
+    idx17 = build_index(genomes, tax, k=17)
+    idx31 = build_index(genomes, tax, k=31)
+    arrs = {k: jnp.array(v) for k, v in tax.device_arrays().items()}
+    rr = [classify_reads_golden(rs.seqs, ix, 0.0)
+          for ix in (idx, idx17, idx31)]
+
+    def to_dev(r):
+        return {"taxon": jnp.array([x.taxon for x in r], jnp.int32),
+                "best": jnp.array([x.best for x in r], jnp.int32),
+                "nvalid": jnp.array([x.nvalid for x in r], jnp.int32)}
+
+    got = to_dev(rr[0])
+    for r in rr[1:]:
+        got = merge_multik_jnp(got, to_dev(r), arrs)
+    want = rr[0]
+    for r in rr[1:]:
+        want = [merge_multik_golden(a, b, tax) for a, b in zip(want, r)]
+    np.testing.assert_array_equal(np.asarray(got["taxon"]),
+                                  [x.taxon for x in want])
+    np.testing.assert_array_equal(np.asarray(got["best"]),
+                                  [x.best for x in want])
+    np.testing.assert_array_equal(np.asarray(got["nvalid"]),
+                                  [x.nvalid for x in want])

@@ -1,0 +1,143 @@
+"""q8 quotiented-key layout (kernels/lookup.py q8 section, VERDICT r2 #6a):
+8 B/slot single-probe tables. Exactness rests on the bijective quotient
+mix — these tests pin the bijection, the layout round-trip, and full
+classify bit-parity vs golden through both the single-device and sharded
+entry points."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pangea_tpu.classify.engine import (ClassifyConfig, DeviceIndex,
+                                        make_classify_fn, pad_batch)
+from pangea_tpu.golden import classify_reads_golden
+from pangea_tpu.index.build import q8_plan
+from pangea_tpu.index.shard import extract_pairs
+from pangea_tpu.kernels.lookup import (_Q8_WAYS, lookup_q8_jnp, q8_hash_np,
+                                       q8_layout)
+
+from .helpers import small_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    return small_world(n_reads=150)
+
+
+def test_q8_hash_bijective():
+    """(K * A) mod 2^(2k) with A odd is a bijection — spot-check no
+    collisions over a dense low range + random 42-bit values (k=21)."""
+    k = 21
+    rng = np.random.default_rng(0)
+    ks = np.unique(np.concatenate([
+        np.arange(10000, dtype=np.uint64),
+        rng.integers(0, 1 << 42, size=200000, dtype=np.uint64)]))
+    h = q8_hash_np(ks, k)
+    assert np.unique(h).shape[0] == ks.shape[0]
+
+
+def test_q8_layout_roundtrip(world):
+    """Every stored k-mer must be found with its exact taxon interval;
+    absent k-mers (random probes) must miss — no false positives."""
+    tax, _, idx, _ = world
+    canon, taxa = extract_pairs(idx)
+    out = q8_layout(canon, taxa, tax.tin, tax.tout, idx.meta.k)
+    assert out is not None
+    fusedq, stash3, nb = out
+    assert fusedq.shape == (nb, 2 * _Q8_WAYS)
+    from pangea_tpu.kernels.lookup import fuse_stash
+    stash = fuse_stash(stash3, tax.tin, tax.tout)
+    rng = np.random.default_rng(1)
+    absent = rng.integers(0, 1 << (2 * idx.meta.k), size=5000,
+                          dtype=np.uint64)
+    absent = absent[~np.isin(absent, canon)]
+    qs = np.concatenate([canon, absent])
+    hi = (qs >> np.uint64(32)).astype(np.uint32)
+    lo = (qs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hit, t_in, t_out = map(np.asarray, lookup_q8_jnp(
+        jnp.array(hi), jnp.array(lo), jnp.ones(qs.shape, bool),
+        jnp.array(fusedq), jnp.array(stash), k=idx.meta.k))
+    n = canon.shape[0]
+    np.testing.assert_array_equal(hit[:n], 1)
+    np.testing.assert_array_equal(t_in[:n], tax.tin[taxa])
+    np.testing.assert_array_equal(t_out[:n], tax.tout[taxa])
+    np.testing.assert_array_equal(hit[n:], 0)
+    np.testing.assert_array_equal(t_in[n:], 0)
+    # invalid positions never hit
+    hit2 = np.asarray(lookup_q8_jnp(
+        jnp.array(hi[:n]), jnp.array(lo[:n]), jnp.zeros(n, bool),
+        jnp.array(fusedq), jnp.array(stash), k=idx.meta.k)[0])
+    np.testing.assert_array_equal(hit2, 0)
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.3])
+def test_q8_classify_bit_exact_vs_golden(world, threshold, monkeypatch):
+    monkeypatch.setenv("PANGEA_LAYOUT", "q8")
+    tax, _, idx, rs = world
+    di = DeviceIndex.from_index(idx, confidence_threshold=threshold)
+    assert di.cfg.layout == "q8" and di.cfg.ways == _Q8_WAYS
+    fn = make_classify_fn(di.cfg)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs, idx, threshold)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
+def test_q8_classify_paired_and_sharded(world, monkeypatch):
+    """q8 through the sharded (data-parallel) entry point: mesh (2, 1),
+    paired reads — bit-exact vs golden."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    from pangea_tpu.utils import datagen
+    monkeypatch.setenv("PANGEA_LAYOUT", "q8")
+    tax, genomes, idx, _ = world
+    rs = datagen.sample_reads(genomes, 96, read_len=110, paired=True,
+                              n_prob=0.02, seed=8)
+    mesh = make_mesh(MeshConfig(n_data=2, n_shard=1),
+                     devices=jax.devices()[:2])
+    di = place_index(idx, mesh, 0.1)
+    assert di.cfg.layout == "q8"
+    fn = make_sharded_classify_fn(di.cfg, mesh, paired=True)
+    b1 = jax.device_put(pad_batch(rs.seqs, 96, 110), batch_sharding(mesh))
+    b2 = jax.device_put(pad_batch(rs.mates, 96, 110), batch_sharding(mesh))
+    out = {k: np.asarray(v) for k, v in fn(di.tables, b1, b2).items()}
+    want = classify_reads_golden(rs.seqs, idx, 0.1, mates=rs.mates)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
+def test_q8_lifting_path_matches_direct(world, monkeypatch):
+    """score_reads_tin_jnp's binary-lifting branch (big taxonomies) must
+    agree with the direct branch — force it by shrinking the direct cap."""
+    from pangea_tpu.kernels import score as score_mod
+    monkeypatch.setenv("PANGEA_LAYOUT", "q8")
+    tax, _, idx, rs = world
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.0)
+    fn = make_classify_fn(di.cfg)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    want = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    monkeypatch.setattr(score_mod, "_DIRECT_LCA_MAX_TAXA", 0)
+    fn2 = make_classify_fn(di.cfg)   # new trace picks up the patched cap
+    got = {k: np.asarray(v) for k, v in fn2(di.tables, bases).items()}
+    for k in ("taxon", "best", "nvalid"):
+        np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_q8_auto_policy():
+    """auto: q8 only when the std table misses the fast regime AND q8 is
+    eligible; k=31 (62-bit k-mers) never qualifies at small NB."""
+    assert q8_plan(2_000_000, 21, 100) is not None       # dense parity idx
+    assert q8_plan(2_000_000, 31, 100) is None           # rem > 31 bits
+    assert q8_plan(2_000_000, 21, 100_000) is None       # stamps > 16 bit
+    assert q8_plan(400_000_000, 21, 100) is None         # beyond regime
+
+
+def test_tin2node_inverse(world):
+    tax, _, _, _ = world
+    arrs = tax.device_arrays()
+    inv = arrs["tin2node"]
+    for t in range(1, tax.num_taxa + 1):
+        assert inv[tax.tin[t]] == t
