@@ -38,10 +38,11 @@ import numpy as np
 
 # TPU v5e (v5 lite): ~819 GB/s HBM bandwidth per chip.
 HBM_BYTES_PER_SEC = {"v5e": 819e9}
-# Measured XLA row-gather issue ceiling in the fast regime (DESIGN.md
-# fact 1, experiments/mb_gather3/4): ~300M rows/s regardless of 256 B vs
-# 512 B row width — the operative per-chip bound for this workload.
-GATHER_ROWS_PER_SEC = 300e6
+# Measured XLA row-gather ceiling in the fast regime with every gathered
+# byte consumed (round 3, experiments/mb_dense3.py full-consume points):
+# ~400M rows/s for 128-512 B rows while the table stays ≤ 2^17 bucket
+# rows — the operative per-chip bound for this workload.
+GATHER_ROWS_PER_SEC = 400e6
 
 
 def _cache_dir() -> str:
@@ -279,7 +280,8 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     #   "speed of light"); the detail block carries both.
     w = max(minimizer_w, 1)
     rows_per_read = 2 * ((read_len - k + 1) // w)  # paired
-    row_bytes = 16 * di.cfg.ways
+    slot_bytes = 8 if di.cfg.layout == "q8" else 16
+    row_bytes = slot_bytes * di.cfg.ways
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     bw = HBM_BYTES_PER_SEC.get(gen, 819e9)
     roofline = bw / (rows_per_read * row_bytes)

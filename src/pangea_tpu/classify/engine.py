@@ -33,13 +33,10 @@ class ClassifyConfig:
     confidence_threshold: float = 0.0
     w: int = 1                      # minimizer window (SEMANTICS.md §3)
     ways: int = 16                  # bucket width (index.meta.ways)
-    # Sub-tables PER device shard (measured, experiments/mb_gather3/4):
-    # row gathers run ~290-320M rows/s while a table stays ≤2^16 bucket
-    # rows AND ≤~34 MB, but only ~88M rows/s beyond — so a mid-size table
-    # (34-68 MB/shard, e.g. the dense w=1 parity index) is FASTER split in
-    # two by the next hash owner bit and probed twice at the fast rate
-    # (2/300M < 1/88M per query). Same owner rule as mesh sharding —
-    # results are bit-identical (disjoint supports sum).
+    # Sub-tables PER device shard. Round-3 in-situ measurement: splitting
+    # multiplies both gather and lane-processing cost — auto is ALWAYS 1
+    # now (index.build.choose_n_sub); the machinery stays for experiments
+    # (PANGEA_NSUB) and the bit-exactness tests that pin the owner rule.
     n_sub: int = 1
     # Table layout: "std" = 16 B/slot fused rows (lookup_jnp);
     # "q8" = 8 B/slot quotiented-key rows (lookup_q8_jnp) — halves row
@@ -85,7 +82,8 @@ class DeviceIndex:
         if layout not in ("std", "q8", "auto"):
             raise ValueError(f"unknown layout {layout!r}")
         tout_max = int(index.taxonomy.tout.max(initial=0))
-        can_q8 = (n_shards == 1 and os.environ.get("PANGEA_NSUB") is None
+        can_q8 = (n_shards == 1 and (n_sub is None or n_sub == 1)
+                  and os.environ.get("PANGEA_NSUB") is None
                   and q8_plan(index.meta.n_kmers, index.meta.k,
                               tout_max) is not None)
         if layout == "q8" and not can_q8:
@@ -93,10 +91,11 @@ class DeviceIndex:
                              "(sharded, PANGEA_NSUB set, rem > 31 bits, "
                              "or Euler stamps > 16 bits)")
         if layout == "auto":
-            from ..index.build import _fits_fast
-            std_fast = _fits_fast(max(index.meta.n_kmers // n_shards, 1),
-                                  index.meta.ways)
-            layout = "q8" if (can_q8 and not std_fast) else "std"
+            # q8 measured ≥ std at every eligible size (round 3,
+            # experiments/mb_dense2/3.py: dense 25.4 ms vs best-std
+            # 32.2 ms; headline w=8 config re-benched at parity) — prefer
+            # it whenever the exactness preconditions hold.
+            layout = "q8" if can_q8 else "std"
         if layout == "q8":
             return cls._from_index_q8(index, confidence_threshold,
                                       device_put)
@@ -142,11 +141,14 @@ class DeviceIndex:
         """q8 quotiented-key layout (kernels.lookup.q8_layout): re-lay the
         index's (kmer, taxon) pairs as one 8 B/slot single-probe table.
         Host relayout of ~10^6-10^7 pairs is vectorized numpy, seconds."""
+        import os
+
         from ..index.shard import extract_pairs
         from ..kernels.lookup import _Q8_WAYS, fuse_stash, q8_layout
         canon, taxa = extract_pairs(index)
         tin, tout = index.taxonomy.tin, index.taxonomy.tout
-        out = q8_layout(canon, taxa, tin, tout, index.meta.k)
+        ways = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
+        out = q8_layout(canon, taxa, tin, tout, index.meta.k, ways=ways)
         assert out is not None, "q8_layout ineligible (checked by caller)"
         fusedq, stash3, _nb = out
         fused = fusedq[None]                      # [1, NB, 2W]
@@ -159,7 +161,7 @@ class DeviceIndex:
         cfg = ClassifyConfig(
             k=index.meta.k, n_shards=1,
             confidence_threshold=confidence_threshold,
-            w=index.meta.w, ways=_Q8_WAYS, n_sub=1, layout="q8")
+            w=index.meta.w, ways=ways, n_sub=1, layout="q8")
         return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
     @property

@@ -135,7 +135,8 @@ def _place_sharded_streaming(sidx, mesh: Mesh,
     tin, tout = sidx.taxonomy.tin, sidx.taxonomy.tout
     packed = int(tout.max(initial=0)) <= 0xFFFF
     fused_w = 4 * W if packed else 6 * W
-    if nb_max <= (1 << 16) and nb_max * fused_w * 4 <= (36 << 20):
+    from ..index.build import FAST_BYTES, FAST_ROWS
+    if nb_max <= FAST_ROWS and nb_max * fused_w * 4 <= FAST_BYTES:
         import logging
         logging.getLogger(__name__).info(
             "streamed shards fit the fast-gather regime (%d rows, %.1f MB)"

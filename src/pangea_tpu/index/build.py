@@ -83,12 +83,16 @@ def dedupe_lca(kmers: np.ndarray, taxa: np.ndarray, taxonomy: Taxonomy):
 WAYS = 16
 STASH_MAX = 128  # overflow cap; exceeding it doubles NB and restarts
 
-# Fast-gather regime bounds (TPU v5e, experiments/mb_gather3/4): random row
-# gathers run ~290-320M rows/s while the table stays within BOTH bounds,
-# ~88M rows/s beyond. Layout policy (auto_ways + choose_n_sub) aims tables
-# at this regime; correctness never depends on it.
-FAST_ROWS = 1 << 16
-FAST_BYTES = 36 << 20
+# Fast-gather regime bounds. Round-3 in-situ revision (experiments/
+# mb_dense_insitu.py, mb_dense2/3.py — real classify programs + chained
+# full-consume gathers on the real chip): the cliff is ROW COUNT — tables
+# up to 2^17 bucket rows gather fast regardless of 256 B vs 512 B row
+# width ([2^17 x 512 B] = 67 MB is fast; [2^18 x 256 B] = same bytes is
+# ~5x slower), overturning round 2's "2^16 rows AND 34 MB" model from
+# mb_gather3/4. Layout policy (auto_ways / q8_plan) aims tables at this
+# regime; correctness never depends on it.
+FAST_ROWS = 1 << 17
+FAST_BYTES = 68 << 20
 
 
 def _est_table(n: int, ways: int, load_factor: float):
@@ -105,13 +109,16 @@ def _fits_fast(n: int, ways: int, load_factor: float = 0.5) -> bool:
 
 def choose_n_sub(n_kmers_per_shard: int, ways: int,
                  load_factor: float = 0.5) -> int:
-    """Auto sub-table policy (classify side): split a per-shard table in
-    two iff the whole table misses the fast-gather regime but each half
-    fits it. Deeper splits lose (k/300M per row exceeds 1/88M at k ≥ 3)."""
-    if _fits_fast(n_kmers_per_shard, ways, load_factor):
-        return 1
-    if _fits_fast((n_kmers_per_shard + 1) // 2, ways, load_factor):
-        return 2
+    """Auto sub-table policy (classify side): ALWAYS 1.
+
+    Round 3 in-situ measurement (experiments/mb_dense_insitu.py, real
+    chip, real classify program) overturned the round-2 microbenchmark
+    this policy was built on: n_sub=2 multiplies BOTH the gather and the
+    per-lane processing cost by 2 (dense parity config: 84.1 ms split vs
+    32.2 ms for the same-capacity single-probe W=32 table), while a
+    single wider-bucket or q8 table reaches the same capacity with ONE
+    gather. The function is kept (and the split machinery with it,
+    PANGEA_NSUB) so the experiment remains reproducible."""
     return 1
 
 
@@ -137,13 +144,15 @@ def q8_plan(n_kmers: int, k: int, tout_max: int,
 
 
 def auto_ways(n_kmers: int, load_factor: float = 0.5) -> int:
-    """Auto bucket width (build side): 16 (256 B rows) when that already
-    lands in the fast regime; widen to 32 (512 B rows) when it packs the
-    table (whole, or its n_sub=2 halves) into the regime — 512 B rows
-    gather at the same per-row rate as 256 B ones (mb_gather3). Beyond the
-    regime entirely (RefSeq scale), stay at 16 and shard instead."""
+    """Auto bucket width (build side): the smallest W ∈ {16, 32, 64} that
+    keeps the bucket count within the fast-gather row bound (round-3
+    model: ≤ 2^17 rows; wider rows gather at the same per-row rate, so
+    widening buckets halves rows for free until the row is ~1 KB, which
+    measured ~35% slower per step — std W=64 in mb_dense2.py). Beyond
+    W=32's reach, prefer the q8 layout (8 B slots) where eligible
+    (engine auto policy) or mesh sharding; stay at 16 otherwise."""
     for ways in (16, 32):
-        if _fits_fast(n_kmers, ways, load_factor) or                 _fits_fast((n_kmers + 1) // 2, ways, load_factor):
+        if _fits_fast(n_kmers, ways, load_factor):
             return ways
     return WAYS
 

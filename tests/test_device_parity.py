@@ -77,7 +77,9 @@ def test_hash_matches_numpy():
 
 def test_lookup_matches_numpy(world):
     _, _, idx, _ = world
-    di = DeviceIndex.from_index(idx, device_put=False)
+    # layout="std": this test pins lookup_jnp on std fused rows (the q8
+    # twin is tests/test_q8.py::test_q8_layout_roundtrip).
+    di = DeviceIndex.from_index(idx, device_put=False, layout="std")
     rng = np.random.default_rng(2)
     canon, _ = extract_pairs(idx)
     probes = np.concatenate([

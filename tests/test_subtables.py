@@ -67,9 +67,8 @@ def test_meshed_subtables_bit_identical(world):
 
 
 def test_choose_n_sub_policy():
-    # tiny table: already fast -> 1
-    assert choose_n_sub(200_000, 16) == 1
-    # dense-parity-like: 2M k-mers at W=32 -> 67 MB full, 34 MB halves -> 2
-    assert choose_n_sub(2_000_000, 32) == 2
-    # RefSeq-shard-like: both halves still far beyond the regime -> 1
-    assert choose_n_sub(66_000_000, 16) == 1
+    # Round-3 in-situ measurement: splitting multiplies both gather and
+    # lane cost — auto is ALWAYS 1 (see index.build.choose_n_sub); the
+    # split machinery itself stays tested above via explicit n_sub.
+    for n, w in ((200_000, 16), (2_000_000, 32), (66_000_000, 16)):
+        assert choose_n_sub(n, w) == 1
