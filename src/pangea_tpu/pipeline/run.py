@@ -249,19 +249,44 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     _END = object()
     # Durability interval (SURVEY.md §6 "fsync'd per N batches"): fsync +
     # manifest commit every N drained batches; a crash re-does at most N.
+    # The fsync + commit run on a DEDICATED thread (round 3): an in-loop
+    # ext4 fsync measured ~0.9 s/batch amortized on this host's cloud
+    # disk and serialized the whole drain (config 4 e2e 81k reads/s with
+    # in-loop fsync vs 191k with it off the loop). Ordering is preserved
+    # — data fsync strictly before the manifest commit that references
+    # it — so crash-resume semantics are unchanged; a crash merely
+    # re-does the not-yet-committed tail batches.
     fsync_every = max(int(os.environ.get("PANGEA_FSYNC_EVERY", "8")), 1)
     pend = {"fpath": None, "reads": 0, "offsets": {}, "k": 0}
+    dur_q: queue.Queue = queue.Queue()
+    dur_err: list = []
+
+    def durability_worker():
+        try:
+            while True:
+                item = dur_q.get()
+                if item is _END:
+                    return
+                fpath_d, reads_d, offsets_d = item
+                for path in offsets_d:
+                    fd = os.open(path, os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+                manifest.record_batch(fpath_d, reads_d, offsets_d)
+        except BaseException as e:  # noqa: BLE001 — surfaced by drain
+            dur_err.append(e)
+
+    durab = threading.Thread(target=durability_worker, daemon=True)
+    durab.start()
 
     def flush_durability():
         if not pend["reads"] or not proc0:
             return
-        for path in pend["offsets"]:
-            fd = os.open(path, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        manifest.record_batch(pend["fpath"], pend["reads"], pend["offsets"])
+        if dur_err:
+            raise dur_err[0]
+        dur_q.put((pend["fpath"], pend["reads"], dict(pend["offsets"])))
         pend.update(fpath=None, reads=0, offsets={}, k=0)
 
     def drain_worker():
@@ -460,8 +485,12 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                 r2.close()
     drain_q.put(_END)
     drainer.join()
+    dur_q.put(_END)          # after drain: all flushes are enqueued
+    durab.join()
     if drain_err:
         raise drain_err[0]
+    if dur_err:
+        raise dur_err[0]
     metrics_fh.close()
 
     # Summaries from the per-batch count accumulators (no TSV re-parse).
