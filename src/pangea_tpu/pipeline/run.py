@@ -740,10 +740,18 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             max_long)
         for Lj in np.unique(bl):
             idxs = longs[bl == Lj]
-            for off in range(0, idxs.size, LB):
-                sub = idxs[off:off + LB]
-                bases = pad_batch([seqs[i] for i in sub], LB, int(Lj))
-                mb = pad_batch([msq[i] for i in sub], LB, int(Lj)) \
+            # Bucket batch rows scale inversely with the bucket length so
+            # every launch carries ~B*L cells (round 3: the former fixed
+            # LB=64 rows turned one 8192-read batch of 1800 bp reads into
+            # 128 launches, each paying the tunnel round trip — 73 s of
+            # drain; constant-cell launches cut that 16x). Shapes stay
+            # fixed per bucket (one compile per distinct Lj).
+            lbj = max(LB, (B * L) // int(Lj))
+            lbj -= lbj % max(mcfg.n_data, 1)
+            for off in range(0, idxs.size, lbj):
+                sub = idxs[off:off + lbj]
+                bases = pad_batch([seqs[i] for i in sub], lbj, int(Lj))
+                mb = pad_batch([msq[i] for i in sub], lbj, int(Lj)) \
                     if paired else None
                 chunks.append((sub, classify_launch(bases, mb)))
         return chunks
