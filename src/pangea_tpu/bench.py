@@ -23,8 +23,9 @@ out and recorded no number):
 achieved (the reference has NO published numbers — BASELINE.md). The
 roofline is the HBM-bandwidth bound for the ACTUAL fused row size
 (16 bytes/slot × ways), not the former 512 B-transaction assumption
-(VERDICT r2 weak #8); the measured XLA gather-issue ceiling (~300M rows/s,
-DESIGN.md fact 1) is also reported in detail as the nearer, observed bound.
+(VERDICT r2 weak #8); the measured XLA gather ceiling (~400M rows/s full-consume,
+DESIGN.md round-3 facts) is also reported in detail as the nearer,
+observed bound.
 """
 from __future__ import annotations
 
@@ -274,8 +275,9 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     # Speed-of-light model, two bounds (VERDICT r2 weak #8):
     # - HBM roofline: each probed position fetches one fused bucket row of
     #   16 B/slot × ways — the minimum bytes that must move from HBM.
-    # - measured gather ceiling: XLA's observed random-row-gather issue
-    #   rate (~300M rows/s fast regime, DESIGN.md fact 1) — the nearer,
+    # - measured gather ceiling: XLA's observed random-row-gather rate
+    #   with full consumption (~400M rows/s fast regime, DESIGN.md
+    #   round-3 facts) — the nearer,
     #   empirical bound. vs_baseline uses the HBM roofline (the honest
     #   "speed of light"); the detail block carries both.
     w = max(minimizer_w, 1)
@@ -285,8 +287,7 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     bw = HBM_BYTES_PER_SEC.get(gen, 819e9)
     roofline = bw / (rows_per_read * row_bytes)
-    gather_ceiling = GATHER_ROWS_PER_SEC / rows_per_read * (
-        1 if di.cfg.n_sub == 1 else 1.0 / di.cfg.n_sub)
+    gather_ceiling = GATHER_ROWS_PER_SEC / (rows_per_read * di.cfg.n_sub)
 
     return {
         "metric": ("reads/sec/chip (paired-end 16S classify, "

@@ -70,22 +70,26 @@ class DeviceIndex:
                    layout: str | None = None) -> "DeviceIndex":
         """n_sub: sub-tables per shard (see ClassifyConfig.n_sub); None =
         auto (choose_n_sub; PANGEA_NSUB env overrides for experiments).
-        layout: "std" | "q8" | None = auto (choose q8 when the std layout
-        would miss the single-table fast-gather regime and q8 fits it;
-        PANGEA_LAYOUT env overrides)."""
+        layout: "std" | "q8" | None = auto (q8 whenever its exactness
+        preconditions hold — measured >= std at every eligible size,
+        DESIGN.md round-3 facts; PANGEA_LAYOUT env overrides)."""
         import os
 
         from ..index.build import q8_plan
-        from ..kernels.lookup import fuse_stash, fuse_table
+        from ..kernels.lookup import _Q8_WAYS, fuse_stash, fuse_table
         if layout is None:
             layout = os.environ.get("PANGEA_LAYOUT", "auto")
         if layout not in ("std", "q8", "auto"):
             raise ValueError(f"unknown layout {layout!r}")
         tout_max = int(index.taxonomy.tout.max(initial=0))
+        q8_ways = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
         can_q8 = (n_shards == 1 and (n_sub is None or n_sub == 1)
                   and os.environ.get("PANGEA_NSUB") is None
+                  # q8 relayout extracts pairs from monolithic tables; a
+                  # ShardedIndex placed on a 1-shard mesh stays std.
+                  and hasattr(index, "key_hi")
                   and q8_plan(index.meta.n_kmers, index.meta.k,
-                              tout_max) is not None)
+                              tout_max, ways=q8_ways) is not None)
         if layout == "q8" and not can_q8:
             raise ValueError("q8 layout requested but ineligible "
                              "(sharded, PANGEA_NSUB set, rem > 31 bits, "

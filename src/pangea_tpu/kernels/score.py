@@ -173,6 +173,51 @@ def _lca_by_tin_direct(u, v, tin_u, tin_v, tax_arrays):
                      jnp.where(zu, v, jnp.where(zv, u, res)))
 
 
+def _score_impl(taxon, hit, t_in, t_out, nvalid, tax_arrays,
+                confidence_threshold):
+    """Shared SEMANTICS.md §7 scoring core. `taxon` is the per-position
+    hit-taxon array (std lookup) or None (q8 lookup — the row stores no
+    taxon id and winner node ids are recovered from Euler tins at the [B]
+    level). One source of truth for both entry points so the scoring rule
+    can never fork between layouts."""
+    pscore = jnp.where(hit, _pscore(t_in, t_out, hit), jnp.int32(0))
+    best = jnp.max(pscore, axis=1)                            # [B]
+    winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
+    # LCA of winners = LCA(min-tin winner, max-tin winner). Extract the two
+    # endpoints by pure reductions (no gathers): a tin value identifies its
+    # taxon uniquely among this read's winners.
+    tin_u = jnp.min(jnp.where(winner, t_in, _I32_MAX), axis=1)
+    tin_v = jnp.max(jnp.where(winner, t_in, jnp.int32(-2)), axis=1)
+    if taxon is not None:
+        u = jnp.max(jnp.where(winner & (t_in == tin_u[:, None]), taxon, 0),
+                    axis=1)
+        v = jnp.max(jnp.where(winner & (t_in == tin_v[:, None]), taxon, 0),
+                    axis=1)
+    else:
+        # u/v only gate the ==0 identity fixups in the direct scan (both
+        # are zero iff the read has no winner), so has-stand-ins suffice
+        # there; the lifting path recovers real node ids from tins via
+        # two [B]-sized tin2node gathers ([B, P] gathers are the
+        # expensive kind — DESIGN.md fact 3; [B] ones are noise).
+        has = (best > 0).astype(jnp.int32)
+        u = v = has
+    if tax_arrays["tin"].shape[0] <= _DIRECT_LCA_MAX_TAXA:
+        assigned = _lca_by_tin_direct(u, v, tin_u, tin_v, tax_arrays)
+    else:
+        if taxon is None:
+            t2n = tax_arrays["tin2node"]
+            top = jnp.int32(t2n.shape[0] - 1)
+            hasb = u != 0
+            u = jnp.where(hasb, t2n[jnp.clip(tin_u, 0, top)], jnp.int32(0))
+            v = jnp.where(hasb, t2n[jnp.clip(tin_v, 0, top)], jnp.int32(0))
+        assigned = lca_pairs_jnp(u, v, tax_arrays["parent"],
+                                 tax_arrays["depth"], tax_arrays["up"])
+    below = best.astype(jnp.float32) < \
+        jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
+    out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)
+    return {"taxon": out_taxon, "best": best, "nvalid": nvalid}
+
+
 def score_reads_jnp(hits, nvalid, tax_arrays, confidence_threshold):
     """hits: (taxon, t_in, t_out) — int32 [B, P] per-position hit taxa
     (0 = miss) and their Euler intervals (from the fused-row lookup; values
@@ -185,60 +230,14 @@ def score_reads_jnp(hits, nvalid, tax_arrays, confidence_threshold):
     op is the §7.6 threshold multiply-compare (IEEE-exact everywhere).
     """
     taxon, t_in, t_out = hits
-    hit = taxon != 0
-    pscore = jnp.where(hit, _pscore(t_in, t_out, hit), jnp.int32(0))
-    best = jnp.max(pscore, axis=1)                            # [B]
-    winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
-    # LCA of winners = LCA(min-tin winner, max-tin winner). Extract the two
-    # endpoints by pure reductions (no gathers): a tin value identifies its
-    # taxon uniquely among this read's winners.
-    tin_u = jnp.min(jnp.where(winner, t_in, _I32_MAX), axis=1)
-    tin_v = jnp.max(jnp.where(winner, t_in, jnp.int32(-2)), axis=1)
-    u = jnp.max(jnp.where(winner & (t_in == tin_u[:, None]), taxon, 0),
-                axis=1)
-    v = jnp.max(jnp.where(winner & (t_in == tin_v[:, None]), taxon, 0),
-                axis=1)
-    if tax_arrays["tin"].shape[0] <= _DIRECT_LCA_MAX_TAXA:
-        assigned = _lca_by_tin_direct(u, v, tin_u, tin_v, tax_arrays)
-    else:
-        assigned = lca_pairs_jnp(u, v, tax_arrays["parent"],
-                                 tax_arrays["depth"], tax_arrays["up"])
-    below = best.astype(jnp.float32) < \
-        jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
-    out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)
-    return {"taxon": out_taxon, "best": best, "nvalid": nvalid}
+    return _score_impl(taxon, taxon != 0, t_in, t_out, nvalid, tax_arrays,
+                       confidence_threshold)
 
 
 def score_reads_tin_jnp(hits, nvalid, tax_arrays, confidence_threshold):
-    """q8-path scorer: hits = (hit_indicator, t_in, t_out) int32 [B, P] —
-    the q8 table row stores no taxon id (kernels.lookup q8 layout), so
-    node ids are recovered from the winner Euler tins at the [B] level:
-    the direct-LCA interval scan already yields node ids, and the
-    binary-lifting path uses two [B]-sized tax_arrays['tin2node'] gathers
-    ([B, P] gathers are the expensive kind — DESIGN.md fact 3; [B] ones
-    are noise). Bit-exact with score_reads_jnp given equivalent hits
-    (tested in test_q8.py)."""
+    """q8-path scorer: hits = (hit_indicator, t_in, t_out) int32 [B, P];
+    same §7 rule via _score_impl with taxon=None. Bit-exact with
+    score_reads_jnp given equivalent hits (tested in test_q8.py)."""
     ind, t_in, t_out = hits
-    hit = ind != 0
-    pscore = jnp.where(hit, _pscore(t_in, t_out, hit), jnp.int32(0))
-    best = jnp.max(pscore, axis=1)                            # [B]
-    winner = hit & (pscore == best[:, None]) & (best[:, None] > 0)
-    tin_u = jnp.min(jnp.where(winner, t_in, _I32_MAX), axis=1)
-    tin_v = jnp.max(jnp.where(winner, t_in, jnp.int32(-2)), axis=1)
-    has = best > 0
-    if tax_arrays["tin"].shape[0] <= _DIRECT_LCA_MAX_TAXA:
-        # The direct scan needs u/v only for its ==0 identity fixups;
-        # has-stand-ins give identical selection (both zero iff no winner).
-        hz = has.astype(jnp.int32)
-        assigned = _lca_by_tin_direct(hz, hz, tin_u, tin_v, tax_arrays)
-    else:
-        t2n = tax_arrays["tin2node"]
-        top = jnp.int32(t2n.shape[0] - 1)
-        u = jnp.where(has, t2n[jnp.clip(tin_u, 0, top)], jnp.int32(0))
-        v = jnp.where(has, t2n[jnp.clip(tin_v, 0, top)], jnp.int32(0))
-        assigned = lca_pairs_jnp(u, v, tax_arrays["parent"],
-                                 tax_arrays["depth"], tax_arrays["up"])
-    below = best.astype(jnp.float32) < \
-        jnp.float32(confidence_threshold) * nvalid.astype(jnp.float32)
-    out_taxon = jnp.where(below | (nvalid == 0), jnp.int32(0), assigned)
-    return {"taxon": out_taxon, "best": best, "nvalid": nvalid}
+    return _score_impl(None, ind != 0, t_in, t_out, nvalid, tax_arrays,
+                       confidence_threshold)

@@ -254,11 +254,13 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     # disk and serialized the whole drain (config 4 e2e 81k reads/s with
     # in-loop fsync vs 191k with it off the loop). Ordering is preserved
     # — data fsync strictly before the manifest commit that references
-    # it — so crash-resume semantics are unchanged; a crash merely
-    # re-does the not-yet-committed tail batches.
+    # it — and the queue is BOUNDED (maxsize 2, blocking put), so the
+    # durability lag is at most ~3 flush groups: a crash re-does at most
+    # ~3N batches, keeping the SURVEY §6 interval bounded rather than
+    # letting an arbitrarily long un-committed tail accumulate.
     fsync_every = max(int(os.environ.get("PANGEA_FSYNC_EVERY", "8")), 1)
     pend = {"fpath": None, "reads": 0, "offsets": {}, "k": 0}
-    dur_q: queue.Queue = queue.Queue()
+    dur_q: queue.Queue = queue.Queue(maxsize=2)
     dur_err: list = []
 
     def durability_worker():

@@ -11,7 +11,7 @@ import pytest
 from pangea_tpu.classify.engine import (ClassifyConfig, DeviceIndex,
                                         make_classify_fn, pad_batch)
 from pangea_tpu.golden import classify_reads_golden
-from pangea_tpu.index.build import q8_plan
+from pangea_tpu.index.build import build_index, q8_plan
 from pangea_tpu.index.shard import extract_pairs
 from pangea_tpu.kernels.lookup import (_Q8_WAYS, lookup_q8_jnp, q8_hash_np,
                                        q8_layout)
@@ -127,8 +127,8 @@ def test_q8_lifting_path_matches_direct(world, monkeypatch):
 
 
 def test_q8_auto_policy():
-    """auto: q8 only when the std table misses the fast regime AND q8 is
-    eligible; k=31 (62-bit k-mers) never qualifies at small NB."""
+    """q8_plan eligibility bounds (the auto policy prefers q8 wherever
+    these hold): k=31 (62-bit k-mers) never qualifies at small NB."""
     assert q8_plan(2_000_000, 21, 100) is not None       # dense parity idx
     assert q8_plan(2_000_000, 31, 100) is None           # rem > 31 bits
     assert q8_plan(2_000_000, 21, 100_000) is None       # stamps > 16 bit
@@ -141,3 +141,29 @@ def test_tin2node_inverse(world):
     inv = arrs["tin2node"]
     for t in range(1, tax.num_taxa + 1):
         assert inv[tax.tin[t]] == t
+
+
+def test_sharded_index_single_shard_mesh_stays_std(tmp_path, monkeypatch):
+    """Regression (round-3 review): a q8-ELIGIBLE ShardedIndex placed on
+    an n_shard=1 mesh must not route through the q8 relayout (which only
+    reads monolithic tables) — it stays std and classifies correctly."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    from pangea_tpu.index import build_index_ooc, load_index_any
+    from pangea_tpu.utils import datagen
+    tax = datagen.make_taxonomy(seed=3)
+    genomes = datagen.make_genomes(tax, genome_len=3000, seed=4)
+    sidx = build_index_ooc(((g, t) for g, t in genomes), tax, k=21,
+                           out=str(tmp_path / "idx"), n_shards=4)
+    sidx = load_index_any(str(tmp_path / "idx"))
+    mesh = make_mesh(MeshConfig(n_data=1, n_shard=1),
+                     devices=jax.devices()[:1])
+    di = place_index(sidx, mesh, 0.0)
+    assert di.cfg.layout == "std"
+    rs = datagen.sample_reads(genomes, 64, read_len=110, seed=5)
+    fn = make_sharded_classify_fn(di.cfg, mesh)
+    b = jax.device_put(pad_batch(rs.seqs, 64, 110), batch_sharding(mesh))
+    out = {k: np.asarray(v) for k, v in fn(di.tables, b).items()}
+    mono = build_index(genomes, tax, k=21)
+    want = classify_reads_golden(rs.seqs, mono, 0.0)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
