@@ -282,8 +282,11 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
     #   "speed of light"); the detail block carries both.
     w = max(minimizer_w, 1)
     rows_per_read = 2 * ((read_len - k + 1) // w)  # paired
-    slot_bytes = 8 if di.cfg.layout == "q8" else 16
-    row_bytes = slot_bytes * di.cfg.ways
+    # Row bytes from the ACTUAL fused row width (ADVICE r3: a layout-keyed
+    # constant overstated the roofline 1.5x when big taxonomies force the
+    # wide 6W std rows).
+    f0 = di.fused[0] if isinstance(di.fused, tuple) else di.fused
+    row_bytes = int(f0.shape[-1]) * 4
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     bw = HBM_BYTES_PER_SEC.get(gen, 819e9)
     roofline = bw / (rows_per_read * row_bytes)

@@ -91,9 +91,13 @@ class DeviceIndex:
                   and q8_plan(index.meta.n_kmers, index.meta.k,
                               tout_max, ways=q8_ways) is not None)
         if layout == "q8" and not can_q8:
-            raise ValueError("q8 layout requested but ineligible "
-                             "(sharded, PANGEA_NSUB set, rem > 31 bits, "
-                             "or Euler stamps > 16 bits)")
+            raise ValueError(
+                "q8 layout requested but ineligible: sharded device "
+                "placement, PANGEA_NSUB set, rem > 31 bits at the capped "
+                "bucket count, Euler stamps > 16 bits, or the table "
+                "exceeds the fast-gather size policy (index.build "
+                "FAST_ROWS/FAST_BYTES — a perf bound, not an exactness "
+                "precondition)")
         if layout == "auto":
             # q8 measured ≥ std at every eligible size (round 3,
             # experiments/mb_dense2/3.py: dense 25.4 ms vs best-std

@@ -44,11 +44,22 @@ def extract_pairs_tables(key_hi, key_lo, val, stash):
     return canon[order], taxa[order]
 
 
-def extract_pairs(index: Index):
+def extract_pairs(index):
     """Recover (canon uint64[N] ascending, taxon int32[N]) from the table
-    (bucket rows + stash)."""
-    return extract_pairs_tables(index.key_hi, index.key_lo, index.val,
-                                index.stash)
+    (bucket rows + stash). Accepts a monolithic :class:`Index` or a
+    :class:`ShardedIndex` (per-shard extraction, merged ascending)."""
+    if hasattr(index, "key_hi"):
+        return extract_pairs_tables(index.key_hi, index.key_lo, index.val,
+                                    index.stash)
+    cs, ts = [], []
+    for sh in index.shards:
+        c, t = extract_pairs_tables(*sh)
+        cs.append(c)
+        ts.append(t)
+    canon = np.concatenate(cs) if cs else np.zeros(0, np.uint64)
+    taxa = np.concatenate(ts) if ts else np.zeros(0, np.int32)
+    order = np.argsort(canon, kind="stable")
+    return canon[order], taxa[order]
 
 
 def owner_of(canon: np.ndarray, n_shards: int) -> np.ndarray:
@@ -83,6 +94,67 @@ def stack_parts(parts):
         val[s] = np.tile(v, (reps, 1))
         stash[s, :, :st.shape[1]] = st
     return key_hi, key_lo, val, stash
+
+
+def stack_q8_parts(parts, stash_pad: int = 0):
+    """Stack per-shard q8 layouts ((fused [NB, 2W], stash3 [3, S_s])) into
+    [S, NB, 2W] / [S, 3, S_max] (all parts share one nb — q8_layout's
+    min_nb contract). Stash padding rows carry EMPTY_HI keys (never match
+    a valid k-mer, k ≤ 31). stash_pad forces a minimum padded stash width
+    (the streaming placement pads every shard to STASH_MAX so shapes are
+    known before later shards are laid out)."""
+    s_max = max(max(p[1].shape[1] for p in parts), stash_pad, 1)
+    fused = np.stack([p[0] for p in parts])
+    stash = np.zeros((len(parts), 3, s_max), dtype=np.uint32)
+    stash[:, 0, :] = EMPTY_HI
+    for s, (_, st) in enumerate(parts):
+        stash[s, :, :st.shape[1]] = st
+    return fused, stash
+
+
+def shard_tables_q8(index, n_shards: int, ways: int,
+                    load_factor: float = 0.5):
+    """Per-shard q8 relayout (VERDICT r3 #1): the §5.1 owner partition
+    (top mix32 hash bits — unchanged, so shard routing and the golden
+    model are untouched), each shard's keys laid out as its own q8 table
+    at one COMMON bucket count. Exactness needs no owner masking at probe
+    time: (bucket, rem) ↔ K is a bijection over ALL k-mers, and a k-mer
+    is stored only in its owner shard, so a query can only ever match in
+    the shard that stores it — per-position hit supports stay disjoint
+    and the psum merge (SEMANTICS.md §11) is exact.
+
+    Returns (fused [S, NB, 2W], stash3 [S, 3, S_max], nb) or None when
+    q8 is ineligible (rem > 31 bits, Euler stamps > 16 bits)."""
+    from ..kernels.lookup import q8_layout, q8_nb_for
+    tax = index.taxonomy
+    if int(tax.tout.max(initial=0)) > 0xFFFF:
+        return None
+    k = index.meta.k
+    canon, taxa = extract_pairs(index)
+    owner = owner_of(canon, n_shards)
+    counts = np.bincount(owner.astype(np.int64), minlength=n_shards)
+    nb = max((q8_nb_for(int(c), k, ways, load_factor) or 0)
+             for c in counts) if n_shards else None
+    if not nb:
+        return None
+    while True:                     # rare: a shard outgrows the target nb
+        parts = []
+        for s in range(n_shards):
+            m = owner == s
+            out = q8_layout(canon[m], taxa[m], tax.tin, tax.tout, k,
+                            ways=ways, load_factor=load_factor, min_nb=nb)
+            if out is None:
+                return None
+            f, st, nb_s = out
+            if nb_s > nb:
+                nb = nb_s
+                parts = None
+                break
+            parts.append((f, st))
+        if parts is not None:
+            break
+    fused, stash = stack_q8_parts(parts)
+    return fused, stash, nb
 
 
 def shard_tables(index, n_shards: int, load_factor: float = 0.5):

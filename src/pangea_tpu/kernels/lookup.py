@@ -184,8 +184,25 @@ def q8_rem_bits(k: int, nb: int) -> int:
     return 2 * k - (nb.bit_length() - 1)
 
 
+def q8_nb_for(n: int, k: int, ways: int = _Q8_WAYS,
+              load_factor: float = 0.5, min_nb: int = 0) -> int | None:
+    """The bucket count q8_layout's growth rule picks for n keys (data-
+    free): capacity growth, then the min_nb floor, then rem-width growth.
+    None when the remainder cannot fit 31 bits (k=31 at any capped NB).
+    Used by the sharded relayout to pick one COMMON nb for all shards."""
+    nb = 8
+    while nb * ways * load_factor < max(n, 1):
+        nb *= 2
+    while nb < min_nb:
+        nb *= 2
+    while q8_rem_bits(k, nb) > 31 and nb <= (1 << 26):
+        nb *= 2
+    return None if q8_rem_bits(k, nb) > 31 else nb
+
+
 def q8_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q8_WAYS,
-              load_factor: float = 0.5, stash_max: int = 128):
+              load_factor: float = 0.5, stash_max: int = 128,
+              min_nb: int = 0):
     """Lay (kmer -> taxon) pairs out as the q8 table.
 
     Returns (fused uint32 [NB, 2W] — lanes [0,W): rem, [W,2W): pk —
@@ -195,6 +212,13 @@ def q8_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q8_WAYS,
     k-mers claim free lanes of their bucket in ascending lane order;
     bucket overflow goes to the stash in ascending canonical order; a
     stash overflow doubles NB (shrinking r) and restarts.
+
+    min_nb: lower bound on the bucket count — the sharded relayout lays
+    every shard at a COMMON nb so the stacked [S, NB, 2W] device array has
+    uniform shape AND a single rem width (unlike the std stack_parts
+    tiling trick, the q8 bucket is the TOP bits of h, so padding by
+    replication would change every stored rem — a common nb is the only
+    layout all shards can share).
     """
     kmers = _np.asarray(kmers, dtype=_np.uint64)
     taxa = _np.asarray(taxa, dtype=_np.int32)
@@ -209,6 +233,8 @@ def q8_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q8_WAYS,
     h = q8_hash_np(kmers, k)
     nb = 8
     while nb * ways * load_factor < max(n, 1):
+        nb *= 2
+    while nb < min_nb:
         nb *= 2
     # A too-wide remainder is fixed by MORE buckets (r = 2k - log2 NB);
     # cap growth so k=31 (r ≤ 31 needs NB ≥ 2^31) stays ineligible.

@@ -178,6 +178,40 @@ def _trim_is_noop(t: TrimConfig) -> bool:
     return t.min_qual <= 0 and not t.min_len and not t.max_len
 
 
+class _ReadyGauge:
+    """Weather-independent steady-state rate (VERDICT r3 #8): measures the
+    gap between consecutive result-ready events in the drain worker. With
+    the launch pipeline full, that gap is the marginal per-batch cost of
+    the binding stage (the device step in every measured config), which —
+    unlike wall-clock e2e reads/s — the shared tunnel's 2-4x run-to-run
+    weather cannot inflate (docs/artifacts/config4_variance_note.json).
+    The first `skip` gaps (pipeline still filling, compiles) are excluded
+    from the summary; the summary is the median marginal rate."""
+
+    def __init__(self, skip: int = 2):
+        self.last = None
+        self.rates: list = []
+        self.skip = skip
+
+    def tick(self, n_in: int):
+        t = time.time()
+        gap = None if self.last is None else t - self.last
+        self.last = t
+        if gap and gap > 0:
+            if self.skip > 0:
+                self.skip -= 1
+            else:
+                self.rates.append(n_in / gap)
+        return gap
+
+    def summary(self) -> dict:
+        if not self.rates:
+            return {}
+        return {"device_reads_per_sec": round(float(np.median(self.rates)),
+                                              1),
+                "device_rate_batches": len(self.rates)}
+
+
 def _index_info(paths, indexes) -> list:
     """Reproducibility block for run_summary.json (VERDICT r2 weak #8:
     artifacts lacked the index build parameters needed to reproduce them):
@@ -189,7 +223,7 @@ def _index_info(paths, indexes) -> list:
 
 def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                        manifest, progress, trim_cfg, demux_cfg,
-                       proc0=True, index_info=()) -> dict:
+                       proc0=True, index_info=(), compile_sec=None) -> dict:
     """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
     counterpart of the reference C binary's parse→classify→printf loop):
 
@@ -245,6 +279,7 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     # deployments can deepen via PANGEA_INFLIGHT.
     depth = max(int(os.environ.get("PANGEA_INFLIGHT", "4")), 1)
     drain_q: queue.Queue = queue.Queue(maxsize=depth)
+    gauge = _ReadyGauge(skip=depth)      # VERDICT r3 #8
     drain_err: list = []
     _END = object()
     # Durability interval (SURVEY.md §6 "fsync'd per N batches"): fsync +
@@ -255,8 +290,9 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     # in-loop fsync vs 191k with it off the loop). Ordering is preserved
     # — data fsync strictly before the manifest commit that references
     # it — and the queue is BOUNDED (maxsize 2, blocking put), so the
-    # durability lag is at most ~3 flush groups: a crash re-does at most
-    # ~3N batches, keeping the SURVEY §6 interval bounded rather than
+    # durability lag is at most ~4 flush groups (2 queued + 1 in-flight
+    # in the worker + 1 accumulating in `pend`): a crash re-does at most
+    # ~4N batches, keeping the SURVEY §6 interval bounded rather than
     # letting an arbitrarily long un-committed tail accumulate.
     fsync_every = max(int(os.environ.get("PANGEA_FSYNC_EVERY", "8")), 1)
     pend = {"fpath": None, "reads": 0, "offsets": {}, "k": 0}
@@ -279,6 +315,14 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                 manifest.record_batch(fpath_d, reads_d, offsets_d)
         except BaseException as e:  # noqa: BLE001 — surfaced by drain
             dur_err.append(e)
+            # Keep consuming (and discarding) so producers blocked in the
+            # bounded dur_q.put can never deadlock on a dead worker; the
+            # recorded error is raised at the next flush_durability / at
+            # run end. Discarded items are safe: their batches simply stay
+            # uncommitted in the manifest (normal crash-redo semantics).
+            while True:
+                if dur_q.get() is _END:
+                    return
 
     durab = threading.Thread(target=durability_worker, daemon=True)
     durab.start()
@@ -301,6 +345,8 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                 t_d0 = time.time()
                 outs_np = [{k: np.asarray(v) for k, v in o.items()}
                            for o in item["outs"]]
+                fetch_sec = time.time() - t_d0
+                gap = gauge.tick(item["n_in"])
                 res = outs_np[0]
                 for o2 in outs_np[1:]:
                     res = merge_multik_np(res, o2, tax)
@@ -356,6 +402,9 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                         "reads": item["n_in"], "sec": round(dt, 4),
                         "launch_sec": round(item["t_launch"], 4),
                         "drain_sec": round(time.time() - t_d0, 4),
+                        "fetch_sec": round(fetch_sec, 4),
+                        "ready_gap_sec": (round(gap, 4)
+                                          if gap is not None else None),
                         "reads_per_sec": round(
                             item["n_in"] / max(dt, 1e-9), 1),
                         "cum_reads": totals["reads"],
@@ -394,19 +443,24 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                 if b1 is None:
                     break
                 n, ids_raw, rows, lens1, quals1 = b1
-                truncated += int((lens1[:n] > L).sum())
                 if r2 is not None:
                     b2 = r2.next_batch_packed()
                     if b2 is None or b2[0] != n:
                         raise ValueError(f"{mpath}: record count mismatch "
                                          f"with {fpath}")
                     _, mids_raw, mrows, mlens, mquals = b2
-                    truncated += int((mlens[:n] > L).sum())
                 if seen + n <= done:       # resume: whole batch already done
                     seen += n
                     continue
                 write_from = max(done - seen, 0)
                 seen += n
+                # Truncation is counted AFTER the resume skip and only over
+                # the newly processed tail — a resumed run must not re-count
+                # pre-crash batches (VERDICT r3 weak #5: killed+resumed
+                # truncated_reads must equal the uninterrupted run's).
+                truncated += int((lens1[write_from:n] > L).sum())
+                if r2 is not None:
+                    truncated += int((mlens[write_from:n] > L).sum())
                 t0 = time.time()
                 if processing:
                     # Whole-batch trim/demux/strip on the packed rows —
@@ -539,7 +593,10 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                                       / max(totals["reads"], 1), 2),
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
               "samples": sorted(sample_direct), "fast_path": True,
-              "truncated_reads": truncated, "indexes": list(index_info)}
+              "truncated_reads": truncated, "indexes": list(index_info),
+              **gauge.summary(),
+              **({"compile_sec": round(compile_sec[0], 1)}
+                 if compile_sec else {})}
     with open(os.path.join(out_dir, "run_summary.json"), "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
     return result
@@ -648,6 +705,31 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
             return [fn0(di0.tables, dev_b, dev_m) if paired
                     else fn0(di0.tables, dev_b)]
 
+    # Cumulative compile-time tracking (VERDICT r3 #9 / r2 weak #3): on
+    # the first launch of each distinct program shape, trace + compile +
+    # a tiny [B] sync fetch are timed together. The explicit fetch
+    # matters: XLA compiles asynchronously past dispatch, so without it
+    # the compile bill lands silently in the first DRAIN fetch (verified:
+    # a 139 s CPU compile showed up as batch-1 fetch_sec, not launch) —
+    # and under the axon tunnel block_until_ready is a no-op, only
+    # fetching bytes syncs (utils/timing.py). A cached-program launch is
+    # ~ms; long-read buckets each add one shape.
+    compile_sec = [0.0]
+    _seen_shapes: set = set()
+    _raw_launch = launch_step
+
+    def launch_step(dev_b, dev_m=None):  # noqa: F811 — timed wrapper
+        key = (tuple(dev_b.shape),
+               None if dev_m is None else tuple(dev_m.shape))
+        if key in _seen_shapes:
+            return _raw_launch(dev_b, dev_m)
+        t = time.time()
+        outs = _raw_launch(dev_b, dev_m)
+        np.asarray(outs[0]["nvalid"])      # sync through the compile
+        compile_sec[0] += time.time() - t
+        _seen_shapes.add(key)
+        return outs
+
     manifest = Manifest.load_or_new(
         os.path.join(cfg.classify.out_dir, "manifest.json"),
         cfg.classify.resume)
@@ -663,7 +745,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                                   paired, manifest, progress, trim_cfg,
                                   demux_cfg, proc0=proc0,
                                   index_info=_index_info(
-                                      cfg.classify.index, indexes))
+                                      cfg.classify.index, indexes),
+                                  compile_sec=compile_sec)
 
     sinks: dict[str, _SampleSink] = {}
 
@@ -790,14 +873,17 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     # hardware where fetch latency is worth hiding further.
     depth = max(int(os.environ.get("PANGEA_INFLIGHT", "2")), 2)
     inflight: deque = deque()
+    gauge = _ReadyGauge(skip=depth)      # VERDICT r3 #8
 
     def drain_one():
         item = inflight.popleft()
         offsets = {}
         n_classified = 0
         t_drain0 = time.time()
-        for sample, ids_part, chunks in item["parts"]:
-            res = resolve_part(ids_part, chunks)
+        results = [(sample, ids_part, resolve_part(ids_part, chunks))
+                   for sample, ids_part, chunks in item["parts"]]
+        gap = gauge.tick(item["n_in"])
+        for sample, ids_part, res in results:
             if not proc0:       # non-0 processes only sync, never write
                 continue
             recs = [AssignmentRecord(ids_part[i], int(res["taxon"][i]),
@@ -819,6 +905,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 "reads": item["n_in"], "sec": round(dt, 4),
                 "launch_sec": round(item["t_launch"], 4),
                 "drain_sec": round(time.time() - t_drain0, 4),
+                "ready_gap_sec": (round(gap, 4) if gap is not None
+                                  else None),
                 "reads_per_sec": round(item["n_in"] / dt, 1),
                 "cum_reads": totals["reads"],
                 "pct_classified": round(
@@ -914,7 +1002,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
               "samples": sorted(sinks),
               "truncated_reads": trunc_count[0],
-              "indexes": _index_info(cfg.classify.index, indexes)}
+              "indexes": _index_info(cfg.classify.index, indexes),
+              **gauge.summary(),
+              "compile_sec": round(compile_sec[0], 1)}
     with open(os.path.join(cfg.classify.out_dir, "run_summary.json"),
               "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
