@@ -41,8 +41,10 @@ class ClassifyConfig:
     # Table layout: "std" = 16 B/slot fused rows (lookup_jnp);
     # "q8" = 8 B/slot quotiented-key rows (lookup_q8_jnp) — halves row
     # bytes so mid-size tables fit the fast-gather regime in ONE probe.
-    # q8 is single-shard only (n_shards == n_sub == 1) and requires
-    # 2k − log2(NB) ≤ 31 and 16-bit Euler stamps (see kernels.lookup).
+    # Since r4 q8 also covers sharded placement (one q8 table per mesh
+    # shard, common bucket count — shard.shard_tables_q8); it requires
+    # n_sub == 1, 2k − log2(NB) ≤ 31, and 16-bit Euler stamps
+    # (see kernels.lookup).
     layout: str = "std"
 
 
@@ -75,38 +77,58 @@ class DeviceIndex:
         DESIGN.md round-3 facts; PANGEA_LAYOUT env overrides)."""
         import os
 
-        from ..index.build import q8_plan
-        from ..kernels.lookup import _Q8_WAYS, fuse_stash, fuse_table
+        from ..index.build import q8_plan, q8_plan_sharded, q12_plan
+        from ..kernels.lookup import (_Q8_WAYS, _Q12_WAYS, fuse_stash,
+                                      fuse_table)
         if layout is None:
             layout = os.environ.get("PANGEA_LAYOUT", "auto")
-        if layout not in ("std", "q8", "auto"):
+        if layout not in ("std", "q8", "q12", "auto"):
             raise ValueError(f"unknown layout {layout!r}")
         tout_max = int(index.taxonomy.tout.max(initial=0))
         q8_ways = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
-        can_q8 = (n_shards == 1 and (n_sub is None or n_sub == 1)
-                  and os.environ.get("PANGEA_NSUB") is None
-                  # q8 relayout extracts pairs from monolithic tables; a
-                  # ShardedIndex placed on a 1-shard mesh stays std.
-                  and hasattr(index, "key_hi")
-                  and q8_plan(index.meta.n_kmers, index.meta.k,
-                              tout_max, ways=q8_ways) is not None)
+        q12_ways = int(os.environ.get("PANGEA_Q12_WAYS", _Q12_WAYS))
+        # Monolithic index on a 1-shard mesh: the round-3 rule (q8 within
+        # the fast-regime size policy). Sharded placement or a
+        # ShardedIndex source (r4, VERDICT r3 #1): per-shard q8 tables —
+        # exactness preconditions only, no size cap (q8_plan_sharded).
+        if n_shards == 1 and hasattr(index, "key_hi"):
+            plan8 = q8_plan(index.meta.n_kmers, index.meta.k, tout_max,
+                            ways=q8_ways)
+        else:
+            plan8 = q8_plan_sharded(index.meta.n_kmers, n_shards,
+                                    index.meta.k, tout_max, ways=q8_ways)
+        no_sub = ((n_sub is None or n_sub == 1)
+                  and os.environ.get("PANGEA_NSUB") is None)
+        can_q8 = no_sub and plan8 is not None
+        # q12: the two-lane-remainder lane for k where q8's exactness is
+        # unreachable (k=31 above all) — VERDICT r3 #3.
+        can_q12 = no_sub and q12_plan(index.meta.n_kmers, n_shards,
+                                      index.meta.k, tout_max,
+                                      ways=q12_ways) is not None
         if layout == "q8" and not can_q8:
             raise ValueError(
-                "q8 layout requested but ineligible: sharded device "
-                "placement, PANGEA_NSUB set, rem > 31 bits at the capped "
-                "bucket count, Euler stamps > 16 bits, or the table "
-                "exceeds the fast-gather size policy (index.build "
-                "FAST_ROWS/FAST_BYTES — a perf bound, not an exactness "
+                "q8 layout requested but ineligible: PANGEA_NSUB set, "
+                "rem > 31 bits at a sane bucket count (k >= 23 — use "
+                "q12), Euler stamps > 16 bits, or the table exceeds the "
+                "fast-gather size policy (index.build FAST_ROWS/"
+                "FAST_BYTES — a perf bound, not an exactness "
                 "precondition)")
+        if layout == "q12" and not can_q12:
+            raise ValueError(
+                "q12 layout requested but ineligible: PANGEA_NSUB set, "
+                "Euler stamps > 16 bits, or q8 already covers this table "
+                "(q12 only applies where q8's single-lane remainder "
+                "cannot fit — index.build.q12_plan)")
         if layout == "auto":
             # q8 measured ≥ std at every eligible size (round 3,
             # experiments/mb_dense2/3.py: dense 25.4 ms vs best-std
             # 32.2 ms; headline w=8 config re-benched at parity) — prefer
-            # it whenever the exactness preconditions hold.
-            layout = "q8" if can_q8 else "std"
-        if layout == "q8":
-            return cls._from_index_q8(index, confidence_threshold,
-                                      device_put)
+            # it whenever the exactness preconditions hold; q12 covers
+            # the k=31 family q8 cannot (2.6x fewer rows than std W=16).
+            layout = "q8" if can_q8 else ("q12" if can_q12 else "std")
+        if layout in ("q8", "q12"):
+            return cls._from_index_quot(index, n_shards, layout,
+                                        confidence_threshold, device_put)
         if n_sub is None:
             env = os.environ.get("PANGEA_NSUB")
             n_sub = int(env) if env else choose_n_sub(
@@ -144,32 +166,37 @@ class DeviceIndex:
         return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
     @classmethod
-    def _from_index_q8(cls, index: Index, confidence_threshold: float,
-                       device_put: bool) -> "DeviceIndex":
-        """q8 quotiented-key layout (kernels.lookup.q8_layout): re-lay the
-        index's (kmer, taxon) pairs as one 8 B/slot single-probe table.
-        Host relayout of ~10^6-10^7 pairs is vectorized numpy, seconds."""
+    def _from_index_quot(cls, index, n_shards: int, layout: str,
+                         confidence_threshold: float,
+                         device_put: bool) -> "DeviceIndex":
+        """Quotient layouts (kernels.lookup q8/q12 sections): re-lay the
+        index's (kmer, taxon) pairs as 8 B/slot (q8) or 12 B/slot (q12,
+        two rem lanes — the k=31 lane) single-probe tables — one per mesh
+        shard (shard.shard_tables_quot; n_shards == 1 degenerates to the
+        monolithic relayout bit-identically). Host relayout of
+        ~10^6-10^7 pairs is vectorized numpy, seconds."""
         import os
 
-        from ..index.shard import extract_pairs
-        from ..kernels.lookup import _Q8_WAYS, fuse_stash, q8_layout
-        canon, taxa = extract_pairs(index)
+        from ..index.shard import shard_tables_quot
+        from ..kernels.lookup import _Q8_WAYS, _Q12_WAYS, fuse_stash
         tin, tout = index.taxonomy.tin, index.taxonomy.tout
-        ways = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
-        out = q8_layout(canon, taxa, tin, tout, index.meta.k, ways=ways)
-        assert out is not None, "q8_layout ineligible (checked by caller)"
-        fusedq, stash3, _nb = out
-        fused = fusedq[None]                      # [1, NB, 2W]
-        stash = fuse_stash(stash3, tin, tout)[None]
+        ways = (int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
+                if layout == "q8"
+                else int(os.environ.get("PANGEA_Q12_WAYS", _Q12_WAYS)))
+        out = shard_tables_quot(index, n_shards, ways, layout=layout)
+        assert out is not None, "relayout ineligible (checked by caller)"
+        fused, stash3, _nb = out                  # [S, NB, 2W], [S, 3, Sm]
+        stash = np.stack([fuse_stash(stash3[s], tin, tout)
+                          for s in range(n_shards)])
         tax = index.taxonomy.device_arrays()
         if device_put:
             fused = jax.device_put(fused)
             stash = jax.device_put(stash)
             tax = {k: jax.device_put(v) for k, v in tax.items()}
         cfg = ClassifyConfig(
-            k=index.meta.k, n_shards=1,
+            k=index.meta.k, n_shards=n_shards,
             confidence_threshold=confidence_threshold,
-            w=index.meta.w, ways=ways, n_sub=1, layout="q8")
+            w=index.meta.w, ways=ways, n_sub=1, layout=layout)
         return cls(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
     @property
@@ -214,13 +241,18 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     hi = his[0] if len(parts) == 1 else jnp.concatenate(his, axis=1)
     lo = los[0] if len(parts) == 1 else jnp.concatenate(los, axis=1)
     valid = vals[0] if len(parts) == 1 else jnp.concatenate(vals, axis=1)
-    if cfg.layout == "q8":
-        # q8 quotiented-key table: ONE 8 B/slot row gather; the hit
-        # indicator stands in for the taxon lane (node ids recovered by
-        # score_reads_tin_jnp at the [B] level). Single-shard by contract.
-        from ..kernels.lookup import lookup_q8_jnp
-        hits = lookup_q8_jnp(hi, lo, valid, tables["fused"],
-                             tables["stash"], k=cfg.k, ways=cfg.ways)
+    if cfg.layout in ("q8", "q12"):
+        # Quotient tables: ONE 8 B/slot (q8) or 12 B/slot (q12) row
+        # gather; the hit indicator stands in for the taxon lane (node
+        # ids recovered by score_reads_tin_jnp at the [B] level). Sharded
+        # execution needs NO owner masking here: a key is stored only in
+        # its owner shard and (bucket, rem) ↔ K is a bijection, so a
+        # query can only match in the shard that stores it — supports
+        # stay disjoint for the psum merge (shard.shard_tables_quot).
+        from ..kernels.lookup import lookup_q8_jnp, lookup_q12_jnp
+        lk = lookup_q8_jnp if cfg.layout == "q8" else lookup_q12_jnp
+        hits = lk(hi, lo, valid, tables["fused"], tables["stash"],
+                  k=cfg.k, ways=cfg.ways)
     elif cfg.n_sub > 1:
         # Sub-table split (ClassifyConfig.n_sub): probe each fast-regime
         # sub-table for all queries; the owner rule makes supports
@@ -255,7 +287,8 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
     """
 
     from ..kernels import score_reads_tin_jnp
-    score = score_reads_tin_jnp if cfg.layout == "q8" else score_reads_jnp
+    score = score_reads_tin_jnp if cfg.layout in ("q8", "q12") \
+        else score_reads_jnp
 
     def fn(tables, bases, mate_bases=None):
         t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),

@@ -143,6 +143,58 @@ def q8_plan(n_kmers: int, k: int, tout_max: int,
     return None
 
 
+def _q8_sane_nb(n: int, k: int, ways: int,
+                load_factor: float = 0.5) -> int | None:
+    """q8 bucket count when exactness is achievable WITHOUT absurd
+    oversizing: the rem-width growth loop (rem ≤ 31 needs NB ≥ 2^(2k−31))
+    can inflate NB far past what capacity asks for at k ≥ 23 — harmless
+    while the result still sits inside the fast-row regime (tiny table),
+    pathological beyond it (a 50k-key k=27 shard would get 2^23 rows /
+    4.3 GB). None in the pathological case — the q12 two-lane layout or
+    std covers it."""
+    from ..kernels.lookup import q8_nb_for
+    nb_cap = 8
+    while nb_cap * ways * load_factor < max(n, 1):
+        nb_cap *= 2
+    nb = q8_nb_for(n, k, ways, load_factor)
+    if nb is None or (nb > 2 * nb_cap and nb > FAST_ROWS):
+        return None
+    return nb
+
+
+def q8_plan_sharded(n_kmers: int, n_shards: int, k: int, tout_max: int,
+                    load_factor: float = 0.5, ways: int = 64) -> int | None:
+    """Eligibility of the PER-SHARD q8 relayout (shard.shard_tables_q8):
+    the expected common per-shard bucket count, or None. Unlike the
+    single-shard q8_plan there is NO fast-regime size cap — sharded
+    tables are RefSeq-scale by construction, and at equal capacity the q8
+    table has 4x fewer rows and 2x fewer bytes than std W=16 (rows are
+    what the round-3 gather cliff prices). Preconditions: rem ≤ 31 bits
+    without absurd NB inflation (_q8_sane_nb) and 16-bit Euler stamps."""
+    if tout_max > 0xFFFF:
+        return None
+    per = -(-max(n_kmers, 1) // max(n_shards, 1))
+    return _q8_sane_nb(per, k, ways, load_factor)
+
+
+def q12_plan(n_kmers: int, n_shards: int, k: int, tout_max: int,
+             load_factor: float = 0.5, ways: int = 0) -> int | None:
+    """Eligibility of the q12 two-lane-remainder layout (kernels.lookup
+    q12 section): ONLY where q8 cannot reach exactness sanely (k=31, and
+    the k≥23 oversizing cases — _q8_sane_nb None); q8 dominates at
+    8 B/slot wherever it is achievable. Needs 16-bit Euler stamps.
+    No fast-regime cap: its target (the k=31 config-4 index) is beyond
+    the fast row bound either way, and at equal capacity q12 rows are
+    2.6x fewer than std W=16."""
+    from ..kernels.lookup import _Q8_WAYS, _Q12_WAYS, q12_nb_for
+    if tout_max > 0xFFFF:
+        return None
+    per = -(-max(n_kmers, 1) // max(n_shards, 1))
+    if _q8_sane_nb(per, k, _Q8_WAYS, load_factor) is not None:
+        return None
+    return q12_nb_for(per, k, ways or _Q12_WAYS, load_factor)
+
+
 def auto_ways(n_kmers: int, load_factor: float = 0.5) -> int:
     """Auto bucket width (build side): the smallest W ∈ {16, 32, 64} that
     keeps the bucket count within the fast-gather row bound (round-3

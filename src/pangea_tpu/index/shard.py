@@ -103,7 +103,9 @@ def stack_q8_parts(parts, stash_pad: int = 0):
     a valid k-mer, k ≤ 31). stash_pad forces a minimum padded stash width
     (the streaming placement pads every shard to STASH_MAX so shapes are
     known before later shards are laid out)."""
-    s_max = max(max(p[1].shape[1] for p in parts), stash_pad, 1)
+    # No 1-floor: an all-empty single-shard stash stays [3, 0] so the
+    # lookup kernel skips the stash scan entirely (S == 0 fast path).
+    s_max = max(max(p[1].shape[1] for p in parts), stash_pad)
     fused = np.stack([p[0] for p in parts])
     stash = np.zeros((len(parts), 3, s_max), dtype=np.uint32)
     stash[:, 0, :] = EMPTY_HI
@@ -112,20 +114,24 @@ def stack_q8_parts(parts, stash_pad: int = 0):
     return fused, stash
 
 
-def shard_tables_q8(index, n_shards: int, ways: int,
-                    load_factor: float = 0.5):
-    """Per-shard q8 relayout (VERDICT r3 #1): the §5.1 owner partition
-    (top mix32 hash bits — unchanged, so shard routing and the golden
-    model are untouched), each shard's keys laid out as its own q8 table
+def shard_tables_quot(index, n_shards: int, ways: int,
+                      load_factor: float = 0.5, layout: str = "q8"):
+    """Per-shard quotient relayout (VERDICT r3 #1/#3): the §5.1 owner
+    partition (top mix32 hash bits — unchanged, so shard routing and the
+    golden model are untouched), each shard's keys laid out as its own
+    q8 (8 B/slot) or q12 (12 B/slot, two rem lanes — covers k=31) table
     at one COMMON bucket count. Exactness needs no owner masking at probe
     time: (bucket, rem) ↔ K is a bijection over ALL k-mers, and a k-mer
     is stored only in its owner shard, so a query can only ever match in
     the shard that stores it — per-position hit supports stay disjoint
     and the psum merge (SEMANTICS.md §11) is exact.
 
-    Returns (fused [S, NB, 2W], stash3 [S, 3, S_max], nb) or None when
-    q8 is ineligible (rem > 31 bits, Euler stamps > 16 bits)."""
-    from ..kernels.lookup import q8_layout, q8_nb_for
+    Returns (fused [S, NB, RW], stash3 [S, 3, S_max], nb) or None when
+    the layout is ineligible (q8: rem > 31 bits; Euler stamps > 16 bits)."""
+    from ..kernels.lookup import (q8_layout, q8_nb_for, q12_layout,
+                                  q12_nb_for)
+    layout_fn, nb_fn = {"q8": (q8_layout, q8_nb_for),
+                        "q12": (q12_layout, q12_nb_for)}[layout]
     tax = index.taxonomy
     if int(tax.tout.max(initial=0)) > 0xFFFF:
         return None
@@ -133,7 +139,7 @@ def shard_tables_q8(index, n_shards: int, ways: int,
     canon, taxa = extract_pairs(index)
     owner = owner_of(canon, n_shards)
     counts = np.bincount(owner.astype(np.int64), minlength=n_shards)
-    nb = max((q8_nb_for(int(c), k, ways, load_factor) or 0)
+    nb = max((nb_fn(int(c), k, ways, load_factor) or 0)
              for c in counts) if n_shards else None
     if not nb:
         return None
@@ -141,7 +147,7 @@ def shard_tables_q8(index, n_shards: int, ways: int,
         parts = []
         for s in range(n_shards):
             m = owner == s
-            out = q8_layout(canon[m], taxa[m], tax.tin, tax.tout, k,
+            out = layout_fn(canon[m], taxa[m], tax.tin, tax.tout, k,
                             ways=ways, load_factor=load_factor, min_nb=nb)
             if out is None:
                 return None
@@ -153,8 +159,19 @@ def shard_tables_q8(index, n_shards: int, ways: int,
             parts.append((f, st))
         if parts is not None:
             break
-    fused, stash = stack_q8_parts(parts)
+    # Sharded stashes pad to the layout's stash_max (128): a deterministic
+    # width every process can compute independently (the streaming
+    # placement ships shards before other hosts' stash sizes are knowable).
+    # n_shards == 1 keeps the minimal width so an empty stash still skips
+    # the stash scan entirely (the headline path).
+    fused, stash = stack_q8_parts(parts, stash_pad=128 if n_shards > 1
+                                  else 0)
     return fused, stash, nb
+
+
+def shard_tables_q8(index, n_shards: int, ways: int,
+                    load_factor: float = 0.5):
+    return shard_tables_quot(index, n_shards, ways, load_factor, "q8")
 
 
 def shard_tables(index, n_shards: int, load_factor: float = 0.5):

@@ -249,14 +249,7 @@ def q8_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q8_WAYS,
             r = 0
         b = (h >> _np.uint64(r)).astype(_np.int64)
         rem = (h & _np.uint64((1 << r) - 1)).astype(_np.uint32)
-        order = _np.argsort(b, kind="stable")
-        bs = b[order]
-        newgrp = _np.concatenate([[True], bs[1:] != bs[:-1]]) if n else \
-            _np.zeros(0, bool)
-        grp = _np.cumsum(newgrp) - 1 if n else _np.zeros(0, _np.int64)
-        first = _np.flatnonzero(newgrp)
-        rank = _np.arange(n) - first[grp] if n else _np.zeros(0, _np.int64)
-        place = rank < ways
+        order, bs, rank, place = _bucket_rank(b, n, ways)
         over = _np.sort(order[~place])          # ascending canonical
         if over.size > stash_max and r > 0:
             nb *= 2
@@ -279,6 +272,171 @@ def q8_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q8_WAYS,
         return fused, stash, nb
 
 
+def _bucket_rank(b, n: int, ways: int):
+    """Shared quotient-layout placement core: for bucket indices b (in
+    ascending-canonical key order), the within-bucket rank of each key and
+    the placed/overflow split. Returns (order, bs, rank, place)."""
+    order = _np.argsort(b, kind="stable")
+    bs = b[order]
+    newgrp = _np.concatenate([[True], bs[1:] != bs[:-1]]) if n else \
+        _np.zeros(0, bool)
+    grp = _np.cumsum(newgrp) - 1 if n else _np.zeros(0, _np.int64)
+    first = _np.flatnonzero(newgrp)
+    rank = _np.arange(n) - first[grp] if n else _np.zeros(0, _np.int64)
+    return order, bs, rank, rank < ways
+
+
+# --------------------------------------------------------------- q12 layout
+# Two-lane-remainder quotient layout (VERDICT r3 #3): covers k where the
+# q8 single-lane remainder cannot fit 31 bits (k=31 needs r = 62 − log2 NB
+# ≤ 31 ⇒ NB ≥ 2^31 — hopeless). A slot stores 12 bytes: rem_lo (low 32
+# rem bits), rem_hi (the rest, ≤ 30 bits), and the packed Euler payload —
+# same bijective mix as q8, so exactness is the same (bucket, rem) ↔ K
+# argument. Geometry: 42 slots × 3 lanes + 2 pad lanes = 128 uint32 lanes
+# = a 512 B power-of-two row (12·W can never be a power of two for
+# uniform W, but slots-per-row need not be a power of two — only row
+# BYTES must, for the gather). vs std W=16 (256 B rows, 16 slots):
+# 2.6x fewer rows at equal capacity, 1.3x fewer bytes — rows are what
+# the round-3 gather cliff prices, so the k=31 config-4 index leaves the
+# slow std layout. Empty-lane sentinel lives in rem_hi (real rem_hi
+# ≤ 2^30 − 1 < 0xFFFFFFFF).
+_Q12_WAYS = 42
+
+
+def _q12_row_lanes(ways: int) -> int:
+    return 1 << (3 * ways - 1).bit_length()      # next pow2 ≥ 3·ways
+
+
+def q12_nb_for(n: int, k: int, ways: int = _Q12_WAYS,
+               load_factor: float = 0.5, min_nb: int = 0) -> int:
+    """q12 bucket count: capacity growth + min_nb floor only (the two-lane
+    remainder always fits: r ≤ 2k − 3 ≤ 59 < 63)."""
+    nb = 8
+    while nb * ways * load_factor < max(n, 1):
+        nb *= 2
+    while nb < min_nb:
+        nb *= 2
+    return nb
+
+
+def _q12_split_np(h: _np.ndarray, r: int, k: int):
+    """(bucket int64, rem_lo uint32, rem_hi uint32) of the q8 mix h."""
+    b = (h >> _np.uint64(r)).astype(_np.int64)
+    lo_bits = min(r, 32)
+    rem_lo = (h & _np.uint64((1 << lo_bits) - 1)).astype(_np.uint32)
+    rem_hi = ((h >> _np.uint64(32)) & _np.uint64((1 << max(r - 32, 0)) - 1)
+              ).astype(_np.uint32) if r > 32 else \
+        _np.zeros(h.shape, _np.uint32)
+    return b, rem_lo, rem_hi
+
+
+def q12_layout(kmers, taxa, tin, tout, k: int, ways: int = _Q12_WAYS,
+               load_factor: float = 0.5, stash_max: int = 128,
+               min_nb: int = 0):
+    """Lay (kmer -> taxon) pairs out as the q12 table.
+
+    Returns (fused uint32 [NB, RL] — lanes [0,W): rem_lo, [W,2W): rem_hi,
+    [2W,3W): pk, [3W,RL): pad — stash uint32 [3, S] standard rows, nb) or
+    None when Euler stamps exceed 16 bits. Same deterministic placement
+    rule as q8_layout; a stash overflow doubles NB and restarts."""
+    kmers = _np.asarray(kmers, dtype=_np.uint64)
+    taxa = _np.asarray(taxa, dtype=_np.int32)
+    tin = _np.asarray(tin, dtype=_np.int32)
+    tout = _np.asarray(tout, dtype=_np.int32)
+    if int(tout.max(initial=0)) > 0xFFFF:
+        return None
+    n = kmers.shape[0]
+    if n > 1 and not (kmers[1:] > kmers[:-1]).all():
+        order = _np.argsort(kmers, kind="stable")
+        kmers, taxa = kmers[order], taxa[order]
+    h = q8_hash_np(kmers, k)
+    RL = _q12_row_lanes(ways)
+    nb = q12_nb_for(n, k, ways, load_factor, min_nb)
+    while True:
+        r = q8_rem_bits(k, nb)
+        if r < 0:
+            nb = 1 << (2 * k)
+            r = 0
+        b, rem_lo, rem_hi = _q12_split_np(h, r, k)
+        order, bs, rank, place = _bucket_rank(b, n, ways)
+        over = _np.sort(order[~place])          # ascending canonical
+        if over.size > stash_max and r > 0:
+            nb *= 2
+            continue
+        fused = _np.zeros((nb, RL), dtype=_np.uint32)
+        fused[:, ways:2 * ways] = _EMPTY_HI     # empty rem_hi sentinel
+        ks = order[place]
+        val = taxa[ks]
+        pk = (tin[val].astype(_np.uint32) << _np.uint32(16)) \
+            | tout[val].astype(_np.uint32)
+        fused[bs[place], rank[place]] = rem_lo[ks]
+        fused[bs[place], ways + rank[place]] = rem_hi[ks]
+        fused[bs[place], 2 * ways + rank[place]] = pk
+        if over.size:
+            stash = _np.stack([
+                (kmers[over] >> _np.uint64(32)).astype(_np.uint32),
+                (kmers[over] & _np.uint64(0xFFFFFFFF)).astype(_np.uint32),
+                taxa[over].view(_np.uint32)])
+        else:
+            stash = _np.zeros((3, 0), dtype=_np.uint32)
+        return fused, stash, nb
+
+
+def lookup_q12_jnp(hi, lo, valid, fused, stash, *, k: int,
+                   ways: int = _Q12_WAYS):
+    """Probe a q12 table — one row gather, two lane compares. Same
+    (hit, t_in, t_out) contract and sharding story as lookup_q8_jnp."""
+    nb = fused.shape[0]
+    W = ways
+    m = 2 * k
+    r = m - (nb.bit_length() - 1)
+    assert 0 <= r <= 62, "q12 table with out-of-range rem width"
+    shape = hi.shape
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1)
+    A = int(_Q8_A)
+    if m <= 32:
+        h_lo = (lo * jnp.uint32(A)) & jnp.uint32((1 << m) - 1)
+        h_hi = jnp.zeros_like(h_lo)
+    else:
+        h_lo = lo * jnp.uint32(A)
+        h_hi = (_umulh32_jnp(lo, A) + hi * jnp.uint32(A)) \
+            & jnp.uint32((1 << (m - 32)) - 1)
+    if r >= 32:
+        b = (h_hi >> jnp.uint32(r - 32)).astype(jnp.int32)
+        rem_lo = h_lo
+        rem_hi = h_hi & jnp.uint32((1 << (r - 32)) - 1)
+    elif r == 0:
+        b = h_lo.astype(jnp.int32)               # m <= 32 whenever r == 0
+        rem_lo = jnp.zeros_like(h_lo)
+        rem_hi = jnp.zeros_like(h_lo)
+    else:
+        b = ((h_hi << jnp.uint32(32 - r)) | (h_lo >> jnp.uint32(r))) \
+            .astype(jnp.int32)
+        rem_lo = h_lo & jnp.uint32((1 << r) - 1)
+        rem_hi = jnp.zeros_like(h_lo)
+
+    rows = fused[b]                              # [N, RL] — THE row gather
+    hitlane = (valid[:, None] & (rows[:, :W] == rem_lo[:, None])
+               & (rows[:, W:2 * W] == rem_hi[:, None]))
+    pk = jnp.sum(jnp.where(hitlane, rows[:, 2 * W:3 * W], jnp.uint32(0)),
+                 axis=-1)
+    t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
+    t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hit = jnp.any(hitlane, axis=-1).astype(jnp.int32)
+
+    S = stash.shape[1]
+    if S:                                        # full-key stash scan
+        shit = (valid[:, None] & (hi[:, None] == stash[0][None, :])
+                & (lo[:, None] == stash[1][None, :]))
+        sv = jax.lax.bitcast_convert_type(stash[3:], jnp.int32)
+        t_in = t_in + jnp.sum(jnp.where(shit, sv[0][None, :], 0), axis=-1)
+        t_out = t_out + jnp.sum(jnp.where(shit, sv[1][None, :], 0), axis=-1)
+        hit = hit + jnp.sum(shit.astype(jnp.int32), axis=-1)
+    return (hit.reshape(shape), t_in.reshape(shape), t_out.reshape(shape))
+
+
 def _umulh32_jnp(a, b_const: int):
     """High 32 bits of a (uint32 array) x b (uint32 constant) — 16-bit
     schoolbook; TPUs have no widening 32-bit multiply in jnp."""
@@ -297,7 +455,8 @@ def _umulh32_jnp(a, b_const: int):
 
 def lookup_q8_jnp(hi, lo, valid, fused, stash, *, k: int,
                   ways: int = _Q8_WAYS):
-    """Probe a q8 table (single shard only — see engine.ClassifyConfig).
+    """Probe a q8 table (one mesh shard's, or a monolithic one — sharded
+    probing needs no owner mask: see index.shard.shard_tables_q8).
 
     hi/lo/valid: uint32/bool [B, P] (or flat) from extract_kmers_jnp.
     fused: uint32 [NB, 2W] q8 rows (q8_layout).

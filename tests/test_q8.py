@@ -143,10 +143,11 @@ def test_tin2node_inverse(world):
         assert inv[tax.tin[t]] == t
 
 
-def test_sharded_index_single_shard_mesh_stays_std(tmp_path, monkeypatch):
-    """Regression (round-3 review): a q8-ELIGIBLE ShardedIndex placed on
-    an n_shard=1 mesh must not route through the q8 relayout (which only
-    reads monolithic tables) — it stays std and classifies correctly."""
+def test_sharded_index_single_shard_mesh(tmp_path):
+    """A ShardedIndex placed on an n_shard=1 mesh (round-3 review: this
+    path crashed when the q8 relayout could only read monolithic tables;
+    since r4 extract_pairs handles sharded sources, so the merged table
+    goes q8) — must classify bit-exact vs the monolithic golden."""
     from pangea_tpu.dist import MeshConfig, make_mesh, place_index
     from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
     from pangea_tpu.index import build_index_ooc, load_index_any
@@ -159,7 +160,7 @@ def test_sharded_index_single_shard_mesh_stays_std(tmp_path, monkeypatch):
     mesh = make_mesh(MeshConfig(n_data=1, n_shard=1),
                      devices=jax.devices()[:1])
     di = place_index(sidx, mesh, 0.0)
-    assert di.cfg.layout == "std"
+    assert di.cfg.layout == "q8"
     rs = datagen.sample_reads(genomes, 64, read_len=110, seed=5)
     fn = make_sharded_classify_fn(di.cfg, mesh)
     b = jax.device_put(pad_batch(rs.seqs, 64, 110), batch_sharding(mesh))
@@ -167,3 +168,221 @@ def test_sharded_index_single_shard_mesh_stays_std(tmp_path, monkeypatch):
     mono = build_index(genomes, tax, k=21)
     want = classify_reads_golden(rs.seqs, mono, 0.0)
     np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (8, 1)])
+def test_q8_sharded_mesh_bit_exact(world, shape, monkeypatch):
+    """Per-shard q8 tables (VERDICT r3 #1) across mesh shapes: forced q8
+    layout, psum merge over the shard axis — bit-exact vs golden."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    monkeypatch.setenv("PANGEA_LAYOUT", "q8")
+    tax, _, idx, rs = world
+    mesh = make_mesh(MeshConfig(*shape))
+    di = place_index(idx, mesh, confidence_threshold=0.1)
+    assert di.cfg.layout == "q8" and di.cfg.n_shards == shape[1]
+    fn = make_sharded_classify_fn(di.cfg, mesh)
+    n = len(rs.seqs) - len(rs.seqs) % shape[0]
+    bases = jax.device_put(pad_batch(rs.seqs[:n], n, 120),
+                           batch_sharding(mesh))
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs[:n], idx, 0.1)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
+def test_q8_sharded_stash_path(world, monkeypatch):
+    """Force tiny q8 buckets (PANGEA_Q8_WAYS=4) so per-shard stashes are
+    non-empty and shards need different natural bucket counts — the
+    common-nb + stash padding machinery must stay bit-exact."""
+    from pangea_tpu.index.shard import shard_tables_q8
+    from pangea_tpu.kernels.lookup import fuse_stash
+    tax, _, idx, rs = world
+    out = shard_tables_q8(idx, 4, ways=4, load_factor=2.0)
+    assert out is not None
+    fused, stash3, nb = out
+    assert fused.shape == (4, nb, 8)
+    assert sum(int((stash3[s][0] != 0xFFFFFFFF).sum())
+               for s in range(4)) > 0, "stash not exercised"
+    canon, taxa = extract_pairs(idx)
+    hi = (canon >> np.uint64(32)).astype(np.uint32)
+    lo = (canon & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    got_in = np.zeros(canon.shape, np.int32)
+    got_hit = np.zeros(canon.shape, np.int32)
+    for s in range(4):
+        stash = fuse_stash(stash3[s], tax.tin, tax.tout)
+        h, t_in, _ = map(np.asarray, lookup_q8_jnp(
+            jnp.array(hi), jnp.array(lo), jnp.ones(canon.shape, bool),
+            jnp.array(fused[s]), jnp.array(stash), k=idx.meta.k, ways=4))
+        got_hit += h
+        got_in += t_in
+    np.testing.assert_array_equal(got_hit, 1)      # disjoint supports
+    np.testing.assert_array_equal(got_in, tax.tin[taxa])
+
+
+def test_q8_streaming_placement_bit_exact(tmp_path, monkeypatch):
+    """ShardedIndex on a matching mesh takes the STREAMING q8 placement
+    (_place_sharded_streaming_q8) — bit-exact vs the monolithic golden
+    and vs the std streaming placement."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    from pangea_tpu.index import build_index_ooc, load_index_any
+    from pangea_tpu.utils import datagen
+    tax = datagen.make_taxonomy(seed=11)
+    genomes = datagen.make_genomes(tax, genome_len=4000, seed=12)
+    build_index_ooc(((g, t) for g, t in genomes), tax, k=21,
+                    out=str(tmp_path / "idx"), n_shards=4)
+    sidx = load_index_any(str(tmp_path / "idx"))
+    rs = datagen.sample_reads(genomes, 64, read_len=110, n_prob=0.02,
+                              seed=13)
+    mesh = make_mesh(MeshConfig(n_data=2, n_shard=4))
+    mono = build_index(genomes, tax, k=21)
+    want = classify_reads_golden(rs.seqs, mono, 0.0)
+    outs = {}
+    for layout in ("q8", "std"):
+        monkeypatch.setenv("PANGEA_LAYOUT", layout)
+        di = place_index(sidx, mesh, 0.0)
+        assert di.cfg.layout == layout
+        fn = make_sharded_classify_fn(di.cfg, mesh)
+        b = jax.device_put(pad_batch(rs.seqs, 64, 110),
+                           batch_sharding(mesh))
+        outs[layout] = {k: np.asarray(v)
+                        for k, v in fn(di.tables, b).items()}
+        np.testing.assert_array_equal(outs[layout]["taxon"],
+                                      [r.taxon for r in want])
+        np.testing.assert_array_equal(outs[layout]["best"],
+                                      [r.best for r in want])
+    for k in ("taxon", "best", "nvalid"):
+        np.testing.assert_array_equal(outs["q8"][k], outs["std"][k])
+
+
+# ------------------------------------------------------------------- q12
+# Two-lane-remainder quotient layout (VERDICT r3 #3): the k=31 lane.
+
+@pytest.fixture(scope="module")
+def world31():
+    return small_world(k=31, n_reads=150)
+
+
+def test_q12_layout_roundtrip_k31(world31):
+    """k=31: every stored k-mer found with its exact interval; absent
+    62-bit k-mers miss — the bijection argument at the width q8 cannot
+    reach."""
+    from pangea_tpu.kernels.lookup import (_Q12_WAYS, fuse_stash,
+                                           lookup_q12_jnp, q12_layout,
+                                           _q12_row_lanes)
+    tax, _, idx, _ = world31
+    canon, taxa = extract_pairs(idx)
+    out = q12_layout(canon, taxa, tax.tin, tax.tout, idx.meta.k)
+    assert out is not None
+    fusedq, stash3, nb = out
+    assert fusedq.shape == (nb, _q12_row_lanes(_Q12_WAYS))
+    stash = fuse_stash(stash3, tax.tin, tax.tout)
+    rng = np.random.default_rng(2)
+    absent = rng.integers(0, 1 << 62, size=5000, dtype=np.uint64)
+    absent = absent[~np.isin(absent, canon)]
+    qs = np.concatenate([canon, absent])
+    hi = (qs >> np.uint64(32)).astype(np.uint32)
+    lo = (qs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hit, t_in, t_out = map(np.asarray, lookup_q12_jnp(
+        jnp.array(hi), jnp.array(lo), jnp.ones(qs.shape, bool),
+        jnp.array(fusedq), jnp.array(stash), k=idx.meta.k))
+    n = canon.shape[0]
+    np.testing.assert_array_equal(hit[:n], 1)
+    np.testing.assert_array_equal(t_in[:n], tax.tin[taxa])
+    np.testing.assert_array_equal(t_out[:n], tax.tout[taxa])
+    np.testing.assert_array_equal(hit[n:], 0)
+
+
+def test_q12_auto_for_k31(world31):
+    """The auto policy must route k=31 through q12 (q8 unreachable)."""
+    tax, _, idx, rs = world31
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.0)
+    assert di.cfg.layout == "q12"
+    fn = make_classify_fn(di.cfg)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs, idx, 0.0)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+    np.testing.assert_array_equal(out["nvalid"], [r.nvalid for r in want])
+
+
+@pytest.mark.parametrize("shape", [(1, 4), (4, 1)])
+def test_q12_sharded_mesh_bit_exact(world31, shape):
+    """Per-shard q12 tables across mesh shapes — bit-exact vs golden."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    tax, _, idx, rs = world31
+    mesh = make_mesh(MeshConfig(*shape), devices=jax.devices()[:4])
+    di = place_index(idx, mesh, confidence_threshold=0.1)
+    assert di.cfg.layout == "q12" and di.cfg.n_shards == shape[1]
+    fn = make_sharded_classify_fn(di.cfg, mesh)
+    n = len(rs.seqs) - len(rs.seqs) % shape[0]
+    bases = jax.device_put(pad_batch(rs.seqs[:n], n, 120),
+                           batch_sharding(mesh))
+    out = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    want = classify_reads_golden(rs.seqs[:n], idx, 0.1)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+
+
+def test_multik_fused_q8_plus_q12(world):
+    """Config-4 shape: fused multi-k (k=21 via q8, k=31 via q12) in one
+    program, merged on device — bit-exact vs the golden multi-k merge."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import (batch_sharding,
+                                      make_multik_sharded_classify_fn)
+    from pangea_tpu.golden import merge_multik_golden
+    tax, genomes, idx21, rs = world
+    idx31 = build_index(genomes, tax, k=31)
+    mesh = make_mesh(MeshConfig(n_data=2, n_shard=1),
+                     devices=jax.devices()[:2])
+    di21 = place_index(idx21, mesh, 0.0)
+    di31 = place_index(idx31, mesh, 0.0)
+    assert di21.cfg.layout == "q8" and di31.cfg.layout == "q12"
+    fn = make_multik_sharded_classify_fn([di21.cfg, di31.cfg], mesh)
+    n = len(rs.seqs) - len(rs.seqs) % 2
+    b = jax.device_put(pad_batch(rs.seqs[:n], n, 120),
+                       batch_sharding(mesh))
+    out = {k: np.asarray(v)
+           for k, v in fn((di21.tables, di31.tables), b).items()}
+    g21 = classify_reads_golden(rs.seqs[:n], idx21, 0.0)
+    g31 = classify_reads_golden(rs.seqs[:n], idx31, 0.0)
+    want = [merge_multik_golden(a, b_, tax) for a, b_ in zip(g21, g31)]
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
+
+
+def test_q12_plan_rules():
+    from pangea_tpu.index.build import q12_plan
+    assert q12_plan(2_000_000, 1, 31, 100) is not None    # the k=31 lane
+    assert q12_plan(2_000_000, 1, 21, 100) is None        # q8 covers k=21
+    assert q12_plan(2_000_000, 1, 31, 100_000) is None    # stamps > 16 bit
+    assert q12_plan(50_000, 4, 27, 100) is not None       # q8 oversize case
+
+
+def test_q12_streaming_placement_bit_exact(tmp_path):
+    """k=31 ShardedIndex on a matching mesh takes the streaming q12
+    placement — bit-exact vs the monolithic golden."""
+    from pangea_tpu.dist import MeshConfig, make_mesh, place_index
+    from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    from pangea_tpu.index import build_index_ooc, load_index_any
+    from pangea_tpu.utils import datagen
+    tax = datagen.make_taxonomy(seed=21)
+    genomes = datagen.make_genomes(tax, genome_len=4000, seed=22)
+    build_index_ooc(((g, t) for g, t in genomes), tax, k=31,
+                    out=str(tmp_path / "idx31"), n_shards=4)
+    sidx = load_index_any(str(tmp_path / "idx31"))
+    rs = datagen.sample_reads(genomes, 64, read_len=110, seed=23)
+    mesh = make_mesh(MeshConfig(n_data=2, n_shard=4))
+    di = place_index(sidx, mesh, 0.0)
+    assert di.cfg.layout == "q12"
+    fn = make_sharded_classify_fn(di.cfg, mesh)
+    b = jax.device_put(pad_batch(rs.seqs, 64, 110), batch_sharding(mesh))
+    out = {k: np.asarray(v) for k, v in fn(di.tables, b).items()}
+    mono = build_index(genomes, tax, k=31)
+    want = classify_reads_golden(rs.seqs, mono, 0.0)
+    np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
+    np.testing.assert_array_equal(out["best"], [r.best for r in want])
