@@ -114,7 +114,13 @@ def _measure(fn, tables, d1, d2, rounds=4, reps=3):
 
     def make_loop(n):
         def run(state):
-            b1, b2 = state
+            # tables ride in the INPUT state so they are jit arguments,
+            # not closure constants: a closed-over table is embedded in
+            # the program payload, and the axon remote-compile endpoint
+            # rejects GB-scale payloads (HTTP 413 — hit at the 0.5 GB
+            # q8 RefSeq-shard table). They are NOT in the output, so no
+            # output-buffer copy of the table is forced either.
+            tables, b1, b2 = state
 
             def body(_, st):
                 b1, b2 = st
@@ -130,7 +136,8 @@ def _measure(fn, tables, d1, d2, rounds=4, reps=3):
     out = fn(tables, d1, d2)
     fetch_sync(out)
     compile_sec = _t.time() - t0
-    step, overhead = marginal_time(make_loop, (d1, d2), r=rounds, reps=reps)
+    step, overhead = marginal_time(make_loop, (tables, d1, d2),
+                                   r=rounds, reps=reps)
     return step, compile_sec, out, overhead
 
 

@@ -105,20 +105,25 @@ class DeviceIndex:
         can_q12 = no_sub and q12_plan(index.meta.n_kmers, n_shards,
                                       index.meta.k, tout_max,
                                       ways=q12_ways) is not None
-        if layout == "q8" and not can_q8:
-            raise ValueError(
-                "q8 layout requested but ineligible: PANGEA_NSUB set, "
-                "rem > 31 bits at a sane bucket count (k >= 23 — use "
-                "q12), Euler stamps > 16 bits, or the table exceeds the "
-                "fast-gather size policy (index.build FAST_ROWS/"
-                "FAST_BYTES — a perf bound, not an exactness "
-                "precondition)")
-        if layout == "q12" and not can_q12:
-            raise ValueError(
-                "q12 layout requested but ineligible: PANGEA_NSUB set, "
-                "Euler stamps > 16 bits, or q8 already covers this table "
-                "(q12 only applies where q8's single-lane remainder "
-                "cannot fit — index.build.q12_plan)")
+        # EXPLICIT layout requests are gated on EXACTNESS only (advisor
+        # r3: the fast-regime size bound is a perf policy, not an
+        # exactness precondition — an experiment may override the auto
+        # choice at any size). Auto keeps the measured size policy.
+        if layout in ("q8", "q12") and not no_sub:
+            raise ValueError(f"{layout} layout is incompatible with "
+                             "n_sub > 1 / PANGEA_NSUB")
+        if layout == "q8":
+            from ..kernels.lookup import q8_nb_for
+            per = -(-index.meta.n_kmers // max(n_shards, 1))
+            if tout_max > 0xFFFF or \
+                    q8_nb_for(per, index.meta.k, q8_ways) is None:
+                raise ValueError(
+                    "q8 layout requested but exactness is unreachable: "
+                    "rem > 31 bits at the capped bucket count (k=31 — "
+                    "use q12) or Euler stamps > 16 bits")
+        if layout == "q12" and tout_max > 0xFFFF:
+            raise ValueError("q12 layout requested but Euler stamps "
+                             "exceed 16 bits")
         if layout == "auto":
             # q8 measured ≥ std at every eligible size (round 3,
             # experiments/mb_dense2/3.py: dense 25.4 ms vs best-std

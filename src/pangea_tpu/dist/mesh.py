@@ -94,28 +94,42 @@ def place_index(index: Index, mesh: Mesh,
 
         from ..index.build import q8_plan_sharded, q12_plan
         from ..kernels.lookup import _Q8_WAYS, _Q12_WAYS
+        from ..kernels.lookup import q8_nb_for
         layout = os.environ.get("PANGEA_LAYOUT", "auto")
         q8w = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
         q12w = int(os.environ.get("PANGEA_Q12_WAYS", _Q12_WAYS))
         tout_max = int(index.taxonomy.tout.max(initial=0))
         no_sub = os.environ.get("PANGEA_NSUB") is None
-        can_q8 = (layout in ("auto", "q8") and no_sub
-                  and q8_plan_sharded(index.meta.n_kmers, n_shard,
-                                      index.meta.k, tout_max,
-                                      ways=q8w) is not None)
-        can_q12 = (layout in ("auto", "q12") and no_sub
-                   and q12_plan(index.meta.n_kmers, n_shard,
-                                index.meta.k, tout_max,
-                                ways=q12w) is not None)
-        if layout in ("q8", "q12") and not (can_q8 or can_q12):
-            raise ValueError(f"{layout} layout requested but ineligible "
-                             "for this sharded index (Euler stamps > 16 "
-                             "bits, PANGEA_NSUB set, or the other "
-                             "quotient layout covers this k)")
-        if can_q8 or can_q12:
+        per = -(-index.meta.n_kmers // n_shard)
+        # Explicit layout requests (PANGEA_LAYOUT): exactness-only gate,
+        # like engine.from_index. Auto: the measured plan policies.
+        if layout == "q8":
+            if not (no_sub and tout_max <= 0xFFFF
+                    and q8_nb_for(per, index.meta.k, q8w) is not None):
+                raise ValueError("q8 layout requested but exactness is "
+                                 "unreachable for this sharded index")
+            pick = "q8"
+        elif layout == "q12":
+            if not (no_sub and tout_max <= 0xFFFF):
+                raise ValueError("q12 layout requested but Euler stamps "
+                                 "exceed 16 bits (or PANGEA_NSUB set)")
+            pick = "q12"
+        elif layout == "std":
+            pick = "std"
+        elif (no_sub and q8_plan_sharded(index.meta.n_kmers, n_shard,
+                                         index.meta.k, tout_max,
+                                         ways=q8w) is not None):
+            pick = "q8"
+        elif (no_sub and q12_plan(index.meta.n_kmers, n_shard,
+                                  index.meta.k, tout_max,
+                                  ways=q12w) is not None):
+            pick = "q12"
+        else:
+            pick = "std"
+        if pick != "std":
             return _place_sharded_streaming_quot(
                 index, mesh, confidence_threshold,
-                q8w if can_q8 else q12w, "q8" if can_q8 else "q12")
+                q8w if pick == "q8" else q12w, pick)
         return _place_sharded_streaming(index, mesh, confidence_threshold)
     di = DeviceIndex.from_index(index, n_shards=n_shard,
                                 confidence_threshold=confidence_threshold,

@@ -180,18 +180,29 @@ def q8_plan_sharded(n_kmers: int, n_shards: int, k: int, tout_max: int,
 def q12_plan(n_kmers: int, n_shards: int, k: int, tout_max: int,
              load_factor: float = 0.5, ways: int = 0) -> int | None:
     """Eligibility of the q12 two-lane-remainder layout (kernels.lookup
-    q12 section): ONLY where q8 cannot reach exactness sanely (k=31, and
-    the k≥23 oversizing cases — _q8_sane_nb None); q8 dominates at
-    8 B/slot wherever it is achievable. Needs 16-bit Euler stamps.
-    No fast-regime cap: its target (the k=31 config-4 index) is beyond
-    the fast row bound either way, and at equal capacity q12 rows are
-    2.6x fewer than std W=16."""
+    q12 section). Preconditions, all measured in situ on the chip
+    (experiments/mb_q12.py, r4):
+
+    - q8 cannot reach exactness sanely (k=31, and the k≥23 oversizing
+      cases — _q8_sane_nb None): q8 dominates at 8 B/slot wherever it
+      is achievable;
+    - the std table would NOT fit the fast-gather regime: inside it std
+      is FASTER (config-4 shape, 444k k-mers: std 2.77 ms vs q12
+      3.50 ms/step — 128 lanes of VPU compare beat 64 only when the
+      gather is the bottleneck, which it is not in-regime). Beyond the
+      regime q12 matches std speed at HALF the bytes (16.8M k-mers:
+      63.2 vs 63.5 ms, 0.54 vs 1.07 GB) — a capacity win for sharded
+      placement, and for 1M < n ≤ 2.75M the q12 table still fits the
+      fast rows std has already left;
+    - 16-bit Euler stamps (pk lane)."""
     from ..kernels.lookup import _Q8_WAYS, _Q12_WAYS, q12_nb_for
     if tout_max > 0xFFFF:
         return None
     per = -(-max(n_kmers, 1) // max(n_shards, 1))
     if _q8_sane_nb(per, k, _Q8_WAYS, load_factor) is not None:
         return None
+    if _fits_fast(per, WAYS, load_factor):
+        return None                      # std is measured-faster there
     return q12_nb_for(per, k, ways or _Q12_WAYS, load_factor)
 
 

@@ -559,14 +559,14 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                 "fast_path": True,
                 "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard}}
     if cfg.classify.resume:
+        from ..report.writers import count_taxa_tsv
         for sample in sorted(sample_paths):
             path = sample_paths[sample]
             if not os.path.exists(path):
                 continue
-            recs = read_assignments(path)
-            taxa = np.array([r.taxon for r in recs], dtype=np.int64)
-            sample_direct[sample] = np.bincount(taxa,
-                                                minlength=tax.num_taxa + 1)
+            # Streaming counter, not read_assignments: a resumed 100M-read
+            # cohort file would cost one Python object per line otherwise.
+            sample_direct[sample] = count_taxa_tsv(path, tax.num_taxa)
     sample_stats = {}
     for sample in sorted(sample_direct):
         direct = sample_direct[sample]

@@ -61,6 +61,28 @@ def read_assignments(path: str):
     return out
 
 
+def count_taxa_tsv(path: str, num_taxa: int,
+                   chunk_lines: int = 1 << 20) -> np.ndarray:
+    """Streaming per-taxon direct counts from a §10.1 assignment TSV —
+    O(chunk) memory, vectorized column extraction. The 100M-read resume
+    path (driver config 5) cannot afford read_assignments' one Python
+    record object per line (~10 GB and minutes of allocator churn for a
+    100M-line file); this counts the taxon column in bounded chunks.
+    Returns int64[num_taxa + 1] (index 0 = unclassified)."""
+    counts = np.zeros(num_taxa + 1, dtype=np.int64)
+    with open(path, "rb") as fh:
+        while True:
+            lines = fh.readlines(chunk_lines * 64)
+            if not lines:
+                break
+            # taxon is column 3 (flag, read_id, taxon, ...): split each
+            # line twice from the left, take the middle field.
+            taxa = np.array([ln.split(b"\t", 3)[2] for ln in lines],
+                            dtype=np.int64)
+            counts += np.bincount(taxa, minlength=num_taxa + 1)
+    return counts
+
+
 def summarize_counts(direct: np.ndarray, taxonomy: Taxonomy):
     """Clade rollup from per-taxon direct counts (int64[T+1], index 0 =
     unclassified). Returns (direct, clade); clade[t] counts reads assigned

@@ -295,10 +295,15 @@ def test_q12_layout_roundtrip_k31(world31):
     np.testing.assert_array_equal(hit[n:], 0)
 
 
-def test_q12_auto_for_k31(world31):
-    """The auto policy must route k=31 through q12 (q8 unreachable)."""
+def test_q12_classify_bit_exact(world31):
+    """Explicit q12 at k=31 classifies bit-exact vs golden. The AUTO
+    policy keeps std for this small (fast-regime) table — measured
+    faster there (experiments/mb_q12.py r4: std 2.77 ms vs q12 3.50 ms
+    at the config-4 shape); q12 is auto only beyond the fast regime."""
     tax, _, idx, rs = world31
-    di = DeviceIndex.from_index(idx, confidence_threshold=0.0)
+    assert DeviceIndex.from_index(idx).cfg.layout == "std"   # auto
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.0,
+                                layout="q12")
     assert di.cfg.layout == "q12"
     fn = make_classify_fn(di.cfg)
     bases = pad_batch(rs.seqs, len(rs.seqs), 120)
@@ -310,10 +315,12 @@ def test_q12_auto_for_k31(world31):
 
 
 @pytest.mark.parametrize("shape", [(1, 4), (4, 1)])
-def test_q12_sharded_mesh_bit_exact(world31, shape):
-    """Per-shard q12 tables across mesh shapes — bit-exact vs golden."""
+def test_q12_sharded_mesh_bit_exact(world31, shape, monkeypatch):
+    """Per-shard q12 tables across mesh shapes — bit-exact vs golden
+    (forced: the auto policy keeps std for fast-regime tables)."""
     from pangea_tpu.dist import MeshConfig, make_mesh, place_index
     from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
+    monkeypatch.setenv("PANGEA_LAYOUT", "q12")
     tax, _, idx, rs = world31
     mesh = make_mesh(MeshConfig(*shape), devices=jax.devices()[:4])
     di = place_index(idx, mesh, confidence_threshold=0.1)
@@ -328,9 +335,10 @@ def test_q12_sharded_mesh_bit_exact(world31, shape):
     np.testing.assert_array_equal(out["best"], [r.best for r in want])
 
 
-def test_multik_fused_q8_plus_q12(world):
-    """Config-4 shape: fused multi-k (k=21 via q8, k=31 via q12) in one
-    program, merged on device — bit-exact vs the golden multi-k merge."""
+def test_multik_fused_q8_plus_q12(world, monkeypatch):
+    """Config-4 shape: fused multi-k with MIXED layouts (k=21 via q8,
+    k=31 forced q12) in one program, merged on device — bit-exact vs the
+    golden multi-k merge."""
     from pangea_tpu.dist import MeshConfig, make_mesh, place_index
     from pangea_tpu.dist.mesh import (batch_sharding,
                                       make_multik_sharded_classify_fn)
@@ -340,7 +348,9 @@ def test_multik_fused_q8_plus_q12(world):
     mesh = make_mesh(MeshConfig(n_data=2, n_shard=1),
                      devices=jax.devices()[:2])
     di21 = place_index(idx21, mesh, 0.0)
+    monkeypatch.setenv("PANGEA_LAYOUT", "q12")
     di31 = place_index(idx31, mesh, 0.0)
+    monkeypatch.delenv("PANGEA_LAYOUT")
     assert di21.cfg.layout == "q8" and di31.cfg.layout == "q12"
     fn = make_multik_sharded_classify_fn([di21.cfg, di31.cfg], mesh)
     n = len(rs.seqs) - len(rs.seqs) % 2
@@ -360,16 +370,19 @@ def test_q12_plan_rules():
     assert q12_plan(2_000_000, 1, 31, 100) is not None    # the k=31 lane
     assert q12_plan(2_000_000, 1, 21, 100) is None        # q8 covers k=21
     assert q12_plan(2_000_000, 1, 31, 100_000) is None    # stamps > 16 bit
-    assert q12_plan(50_000, 4, 27, 100) is not None       # q8 oversize case
+    assert q12_plan(444_000, 1, 31, 100) is None   # fast regime: std wins
+    assert q12_plan(40_000_000, 4, 27, 100) is not None  # big k=27 shards
 
 
-def test_q12_streaming_placement_bit_exact(tmp_path):
+def test_q12_streaming_placement_bit_exact(tmp_path, monkeypatch):
     """k=31 ShardedIndex on a matching mesh takes the streaming q12
-    placement — bit-exact vs the monolithic golden."""
+    placement (forced: auto keeps std in the fast regime) — bit-exact
+    vs the monolithic golden."""
     from pangea_tpu.dist import MeshConfig, make_mesh, place_index
     from pangea_tpu.dist.mesh import batch_sharding, make_sharded_classify_fn
     from pangea_tpu.index import build_index_ooc, load_index_any
     from pangea_tpu.utils import datagen
+    monkeypatch.setenv("PANGEA_LAYOUT", "q12")
     tax = datagen.make_taxonomy(seed=21)
     genomes = datagen.make_genomes(tax, genome_len=4000, seed=22)
     build_index_ooc(((g, t) for g, t in genomes), tax, k=31,

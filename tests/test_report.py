@@ -74,3 +74,26 @@ def test_stats():
     # bray-curtis: identical → 0, disjoint → 1
     assert stats.bray_curtis([1, 0], [1, 0]) == 0.0
     assert stats.bray_curtis([1, 0], [0, 2]) == 1.0
+
+
+def test_count_taxa_tsv_matches_read_assignments(tmp_path):
+    """Streaming counter (100M-resume path) == per-record parse."""
+    import numpy as np
+    from pangea_tpu.report.writers import (count_taxa_tsv,
+                                           format_assignment,
+                                           read_assignments)
+    from pangea_tpu.report import AssignmentRecord
+    from .helpers import chain_taxonomy
+    tax = chain_taxonomy(6)
+    rng = np.random.default_rng(5)
+    recs = [AssignmentRecord(f"r{i}", int(rng.integers(0, 7)),
+                             int(rng.integers(0, 9)), 8)
+            for i in range(5000)]
+    p = str(tmp_path / "a.assign.tsv")
+    with open(p, "w") as fh:
+        for r in recs:
+            fh.write(format_assignment(r, tax))
+    got = count_taxa_tsv(p, tax.num_taxa, chunk_lines=256)
+    want = np.bincount([r.taxon for r in read_assignments(p)],
+                       minlength=tax.num_taxa + 1)
+    np.testing.assert_array_equal(got, want)
