@@ -20,7 +20,7 @@ export PYTHONPATH=src:/root/.axon_site
 ART=docs/artifacts
 mkdir -p $ART
 D=/tmp/c5big
-B=${PANGEA_C5_BATCH:-131072}
+B=${PANGEA_C5_BATCH:-262144}
 LOG=$ART/config5_100m_rss.log
 : > $LOG
 
