@@ -104,7 +104,7 @@ art = {
   "scale": "driver config 5 (BASELINE.json:11) at FULL spec volume",
   "reads_total": ctl["reads"],
   "samples": ctl["samples"],
-  "batch_size": int(__import__("os").environ.get("PANGEA_C5_BATCH", 131072)),
+  "batch_size": int(__import__("os").environ.get("PANGEA_C5_BATCH", 262144)),
   "control_summary": ctl,
   "killed_at_durable_reads": killed_at,
   "resumed_summary": res,

@@ -171,6 +171,50 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
 # (kernels.score.score_reads_tin_jnp), never via [B, P] gathers.
 _Q8_A = _np.uint64(0x9E3779B1)        # odd (2^32/golden-ratio, Knuth)
 _Q8_WAYS = 64                         # 8 B x 64 = 512 B fused rows
+# Chunked-gather policy (r4 xprof finding, docs/artifacts/trace_r04 +
+# experiments/mb_vmem.py): the gather is a fusion ROOT in XLA — its
+# [N, 2W] rows output is materialized to HBM (268 MB/step at headline
+# shape, 942 us) and re-read by the lane-compare fusion (854 us).
+# Running gather+compare+sum per query chunk under lax.map bounds the
+# intermediate to [chunk, 2W] and measured 2.62 -> 2.17 ms/step
+# (6.2M -> 7.5M reads/s) at the headline shape. Applied when the flat
+# query count exceeds the chunk size; exactness is per-element identical.
+_Q8_CHUNK = 65536
+
+
+def _quot_chunk() -> int:
+    import os
+    return max(int(os.environ.get("PANGEA_Q8_CHUNK", _Q8_CHUNK)), 1)
+
+
+def _chunked_pk(fused, b, rem_lanes, valid, W, chunk):
+    """Per-chunk gather + lane compare + payload sum: pk uint32 [N].
+    rem_lanes: one (q8) or two (q12) flat uint32 [N] remainder arrays;
+    lane set j of `fused` is compared against rem_lanes[j], the payload
+    lane set is the one after the remainder sets."""
+    n_rem = len(rem_lanes)
+    N = b.shape[0]
+    nch = -(-N // chunk)
+    pad = nch * chunk - N
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+        return x.reshape(nch, chunk)
+
+    def one(args):
+        bc, vc, *rems = args
+        rows = fused[bc]                      # [chunk, lanes]
+        hitlane = vc[:, None]
+        for j, rc in enumerate(rems):
+            hitlane = hitlane & (rows[:, j * W:(j + 1) * W] == rc[:, None])
+        return jnp.sum(jnp.where(hitlane, rows[:, n_rem * W:
+                                               (n_rem + 1) * W],
+                                 jnp.uint32(0)), axis=-1)
+
+    pk = jax.lax.map(one, (prep(b), prep(valid),
+                           *(prep(r) for r in rem_lanes)))
+    return pk.reshape(-1)[:N] if pad else pk.reshape(-1)
 
 
 def q8_hash_np(canon: _np.ndarray, k: int) -> _np.ndarray:
@@ -417,14 +461,19 @@ def lookup_q12_jnp(hi, lo, valid, fused, stash, *, k: int,
         rem_lo = h_lo & jnp.uint32((1 << r) - 1)
         rem_hi = jnp.zeros_like(h_lo)
 
-    rows = fused[b]                              # [N, RL] — THE row gather
-    hitlane = (valid[:, None] & (rows[:, :W] == rem_lo[:, None])
-               & (rows[:, W:2 * W] == rem_hi[:, None]))
-    pk = jnp.sum(jnp.where(hitlane, rows[:, 2 * W:3 * W], jnp.uint32(0)),
-                 axis=-1)
+    chunk = _quot_chunk()
+    if b.shape[0] > chunk:
+        # Chunked gather+compare+sum (see _Q8_CHUNK) — bit-identical.
+        pk = _chunked_pk(fused, b, (rem_lo, rem_hi), valid, W, chunk)
+    else:
+        rows = fused[b]                          # [N, RL] — THE row gather
+        hitlane = (valid[:, None] & (rows[:, :W] == rem_lo[:, None])
+                   & (rows[:, W:2 * W] == rem_hi[:, None]))
+        pk = jnp.sum(jnp.where(hitlane, rows[:, 2 * W:3 * W],
+                               jnp.uint32(0)), axis=-1)
     t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
     t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    hit = jnp.any(hitlane, axis=-1).astype(jnp.int32)
+    hit = (pk != jnp.uint32(0)).astype(jnp.int32)   # see lookup_q8_jnp
 
     S = stash.shape[1]
     if S:                                        # full-key stash scan
@@ -491,12 +540,24 @@ def lookup_q8_jnp(hi, lo, valid, fused, stash, *, k: int,
         b = ((h_hi << jnp.uint32(32 - r)) | (h_lo >> jnp.uint32(r))) \
             .astype(jnp.int32)
 
-    rows = fused[b]                          # [N, 2W] — THE row gather
-    hitlane = valid[:, None] & (rows[:, :W] == rem[:, None])
-    pk = jnp.sum(jnp.where(hitlane, rows[:, W:], jnp.uint32(0)), axis=-1)
+    chunk = _quot_chunk()
+    if b.shape[0] > chunk:
+        # Chunked gather+compare+sum (see _Q8_CHUNK) — bit-identical.
+        pk = _chunked_pk(fused, b, (rem,), valid, W, chunk)
+    else:
+        rows = fused[b]                      # [N, 2W] — THE row gather
+        hitlane = valid[:, None] & (rows[:, :W] == rem[:, None])
+        pk = jnp.sum(jnp.where(hitlane, rows[:, W:], jnp.uint32(0)),
+                     axis=-1)
     t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
     t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    hit = jnp.any(hitlane, axis=-1).astype(jnp.int32)
+    # hit ⟺ pk != 0, EXACTLY: at most one lane matches (the (bucket,
+    # rem) ↔ K bijection), and a stored pk is tin<<16|tout with tin ≥ 1
+    # for every real taxon, so a hit's pk is ≥ 2^16 > 0. Computing hit
+    # from pk instead of any(hitlane) drops a [N, W] pred
+    # materialization + reduce from the program (xprof r4: 195 us/step
+    # + its share of the 854 us lane fusion at the headline shape).
+    hit = (pk != jnp.uint32(0)).astype(jnp.int32)
 
     S = stash.shape[1]
     if S:                                    # full-key parallel stash scan

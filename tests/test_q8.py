@@ -399,3 +399,22 @@ def test_q12_streaming_placement_bit_exact(tmp_path, monkeypatch):
     want = classify_reads_golden(rs.seqs, mono, 0.0)
     np.testing.assert_array_equal(out["taxon"], [r.taxon for r in want])
     np.testing.assert_array_equal(out["best"], [r.best for r in want])
+
+
+@pytest.mark.parametrize("layout", ["q8", "q12"])
+def test_chunked_lookup_bit_identical(world, world31, layout, monkeypatch):
+    """The chunked gather path (PANGEA_Q8_CHUNK, r4 xprof finding) must
+    be bit-identical to the single-shot gather — force a tiny chunk so
+    the test batch actually chunks (incl. a padded tail)."""
+    tax, _, idx, rs = world if layout == "q8" else world31
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.0,
+                                layout=layout)
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    fn = make_classify_fn(di.cfg)
+    monkeypatch.setenv("PANGEA_Q8_CHUNK", "1000")   # forces pad + chunks
+    got = {k: np.asarray(v)
+           for k, v in make_classify_fn(di.cfg)(di.tables, bases).items()}
+    monkeypatch.delenv("PANGEA_Q8_CHUNK")
+    want = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
+    for k in ("taxon", "best", "nvalid"):
+        np.testing.assert_array_equal(got[k], want[k])
