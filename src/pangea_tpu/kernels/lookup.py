@@ -122,23 +122,50 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
         mine = valid
     b = (h & bmask).astype(jnp.int32)
 
-    rows = fused[b]                            # [N, 4W|6W] — THE row gather
-    khi = rows[:, 0:W]
-    klo = rows[:, W:2 * W]
-    val = jax.lax.bitcast_convert_type(rows[:, 2 * W:3 * W], jnp.int32)
-    hitlane = (mine[:, None] & (khi == hi[:, None]) & (klo == lo[:, None]))
-    # Masked lane-sums over the same hit mask; XLA fuses them into one
-    # pass over the gathered rows.
-    taxon = jnp.sum(jnp.where(hitlane, val, 0), axis=-1)
-    if packed:
-        pk = jnp.sum(jnp.where(hitlane, rows[:, 3 * W:4 * W],
-                               jnp.uint32(0)), axis=-1)
-        t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
-        t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    def _std_lanes(bc, hic, loc, mc):
+        """Gather + lane compare + masked sums for one query (chunk):
+        the same one-pass-over-rows math XLA fuses either way."""
+        rows = fused[bc]                       # [?, 4W|6W] — row gather
+        khi = rows[..., 0:W]
+        klo = rows[..., W:2 * W]
+        val = jax.lax.bitcast_convert_type(rows[..., 2 * W:3 * W],
+                                           jnp.int32)
+        hitlane = (mc[..., None] & (khi == hic[..., None])
+                   & (klo == loc[..., None]))
+        taxon = jnp.sum(jnp.where(hitlane, val, 0), axis=-1)
+        if packed:
+            pk = jnp.sum(jnp.where(hitlane, rows[..., 3 * W:4 * W],
+                                   jnp.uint32(0)), axis=-1)
+            t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
+            t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        else:
+            p2 = jax.lax.bitcast_convert_type(rows[..., 3 * W:5 * W],
+                                              jnp.int32)
+            t_in = jnp.sum(jnp.where(hitlane, p2[..., 0:W], 0), axis=-1)
+            t_out = jnp.sum(jnp.where(hitlane, p2[..., W:2 * W], 0),
+                            axis=-1)
+        return taxon, t_in, t_out
+
+    chunk = _quot_chunk()
+    if b.shape[0] > chunk:
+        # Chunked gather (see _Q8_CHUNK): bounds the materialized
+        # [N, 4W|6W] rows intermediate — same r4 xprof finding as q8.
+        N = b.shape[0]
+        nch = -(-N // chunk)
+        pad = nch * chunk - N
+
+        def prep(x):
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+            return x.reshape(nch, chunk)
+
+        taxon, t_in, t_out = jax.lax.map(
+            lambda a: _std_lanes(*a),
+            (prep(b), prep(hi), prep(lo), prep(mine)))
+        taxon, t_in, t_out = (x.reshape(-1)[:N]
+                              for x in (taxon, t_in, t_out))
     else:
-        p2 = jax.lax.bitcast_convert_type(rows[:, 3 * W:5 * W], jnp.int32)
-        t_in = jnp.sum(jnp.where(hitlane, p2[:, 0:W], 0), axis=-1)
-        t_out = jnp.sum(jnp.where(hitlane, p2[:, W:2 * W], 0), axis=-1)
+        taxon, t_in, t_out = _std_lanes(b, hi, lo, mine)
 
     S = stash.shape[1]
     if S:                                       # parallel stash scan (VPU)

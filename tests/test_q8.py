@@ -418,3 +418,19 @@ def test_chunked_lookup_bit_identical(world, world31, layout, monkeypatch):
     want = {k: np.asarray(v) for k, v in fn(di.tables, bases).items()}
     for k in ("taxon", "best", "nvalid"):
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_chunked_std_lookup_bit_identical(world, monkeypatch):
+    """The chunked std gather (same r4 materialization fix) must be
+    bit-identical to single-shot, including the sharded owner mask."""
+    tax, _, idx, rs = world
+    di = DeviceIndex.from_index(idx, confidence_threshold=0.0,
+                                layout="std")
+    bases = pad_batch(rs.seqs, len(rs.seqs), 120)
+    want = {k: np.asarray(v)
+            for k, v in make_classify_fn(di.cfg)(di.tables, bases).items()}
+    monkeypatch.setenv("PANGEA_Q8_CHUNK", "1000")
+    got = {k: np.asarray(v)
+           for k, v in make_classify_fn(di.cfg)(di.tables, bases).items()}
+    for k in ("taxon", "best", "nvalid"):
+        np.testing.assert_array_equal(got[k], want[k])
