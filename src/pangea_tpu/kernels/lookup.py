@@ -206,7 +206,10 @@ _Q8_WAYS = 64                         # 8 B x 64 = 512 B fused rows
 # intermediate to [chunk, 2W] and measured 2.62 -> 2.17 ms/step
 # (6.2M -> 7.5M reads/s) at the headline shape. Applied when the flat
 # query count exceeds the chunk size; exactness is per-element identical.
-_Q8_CHUNK = 65536
+# Chunk-size sweep (experiments/mb_chunksweep.py, headline shape):
+# 16384/32768 ~2.20 ms, 65536-262144 2.3-2.6 ms, unchunked 2.5-2.7 ms
+# — flat once the intermediate is small; 32768 chosen (fewer map trips).
+_Q8_CHUNK = 32768
 
 
 def _quot_chunk() -> int:
