@@ -17,7 +17,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BATCHES = (16384, 32768, 65536, 131072, 262144)
+BATCHES = (16384, 32768, 65536, 131072, 262144, 524288)
 REPS = 2
 ART = os.path.join(REPO, "docs", "artifacts")
 

@@ -77,60 +77,26 @@ class DeviceIndex:
         DESIGN.md round-3 facts; PANGEA_LAYOUT env overrides)."""
         import os
 
-        from ..index.build import q8_plan, q8_plan_sharded, q12_plan
+        from ..index.build import pick_layout
         from ..kernels.lookup import (_Q8_WAYS, _Q12_WAYS, fuse_stash,
                                       fuse_table)
         if layout is None:
             layout = os.environ.get("PANGEA_LAYOUT", "auto")
-        if layout not in ("std", "q8", "q12", "auto"):
-            raise ValueError(f"unknown layout {layout!r}")
         tout_max = int(index.taxonomy.tout.max(initial=0))
         q8_ways = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
         q12_ways = int(os.environ.get("PANGEA_Q12_WAYS", _Q12_WAYS))
-        # Monolithic index on a 1-shard mesh: the round-3 rule (q8 within
-        # the fast-regime size policy). Sharded placement or a
-        # ShardedIndex source (r4, VERDICT r3 #1): per-shard q8 tables —
-        # exactness preconditions only, no size cap (q8_plan_sharded).
-        if n_shards == 1 and hasattr(index, "key_hi"):
-            plan8 = q8_plan(index.meta.n_kmers, index.meta.k, tout_max,
-                            ways=q8_ways)
-        else:
-            plan8 = q8_plan_sharded(index.meta.n_kmers, n_shards,
-                                    index.meta.k, tout_max, ways=q8_ways)
         no_sub = ((n_sub is None or n_sub == 1)
                   and os.environ.get("PANGEA_NSUB") is None)
-        can_q8 = no_sub and plan8 is not None
-        # q12: the two-lane-remainder lane for k where q8's exactness is
-        # unreachable (k=31 above all) — VERDICT r3 #3.
-        can_q12 = no_sub and q12_plan(index.meta.n_kmers, n_shards,
-                                      index.meta.k, tout_max,
-                                      ways=q12_ways) is not None
-        # EXPLICIT layout requests are gated on EXACTNESS only (advisor
-        # r3: the fast-regime size bound is a perf policy, not an
-        # exactness precondition — an experiment may override the auto
-        # choice at any size). Auto keeps the measured size policy.
-        if layout in ("q8", "q12") and not no_sub:
-            raise ValueError(f"{layout} layout is incompatible with "
-                             "n_sub > 1 / PANGEA_NSUB")
-        if layout == "q8":
-            from ..kernels.lookup import q8_nb_for
-            per = -(-index.meta.n_kmers // max(n_shards, 1))
-            if tout_max > 0xFFFF or \
-                    q8_nb_for(per, index.meta.k, q8_ways) is None:
-                raise ValueError(
-                    "q8 layout requested but exactness is unreachable: "
-                    "rem > 31 bits at the capped bucket count (k=31 — "
-                    "use q12) or Euler stamps > 16 bits")
-        if layout == "q12" and tout_max > 0xFFFF:
-            raise ValueError("q12 layout requested but Euler stamps "
-                             "exceed 16 bits")
-        if layout == "auto":
-            # q8 measured ≥ std at every eligible size (round 3,
-            # experiments/mb_dense2/3.py: dense 25.4 ms vs best-std
-            # 32.2 ms; headline w=8 config re-benched at parity) — prefer
-            # it whenever the exactness preconditions hold; q12 covers
-            # the k=31 family q8 cannot (2.6x fewer rows than std W=16).
-            layout = "q8" if can_q8 else ("q12" if can_q12 else "std")
+        # ONE layout decision for all entry points (index.build
+        # .pick_layout — explicit requests exactness-gated, auto applies
+        # the measured policies; the monolithic 1-shard case keeps the
+        # round-3 size-capped q8 rule).
+        layout = pick_layout(
+            index.meta.n_kmers, n_shards, index.meta.k, tout_max,
+            monolithic_single=(n_shards == 1
+                               and hasattr(index, "key_hi")),
+            requested=layout, no_sub=no_sub, q8_ways=q8_ways,
+            q12_ways=q12_ways)
         if layout in ("q8", "q12"):
             return cls._from_index_quot(index, n_shards, layout,
                                         confidence_threshold, device_put)

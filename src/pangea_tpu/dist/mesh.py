@@ -92,40 +92,19 @@ def place_index(index: Index, mesh: Mesh,
     if isinstance(index, ShardedIndex) and index.meta.n_shards == n_shard:
         import os
 
-        from ..index.build import q8_plan_sharded, q12_plan
+        from ..index.build import pick_layout
         from ..kernels.lookup import _Q8_WAYS, _Q12_WAYS
-        from ..kernels.lookup import q8_nb_for
-        layout = os.environ.get("PANGEA_LAYOUT", "auto")
         q8w = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
         q12w = int(os.environ.get("PANGEA_Q12_WAYS", _Q12_WAYS))
-        tout_max = int(index.taxonomy.tout.max(initial=0))
-        no_sub = os.environ.get("PANGEA_NSUB") is None
-        per = -(-index.meta.n_kmers // n_shard)
-        # Explicit layout requests (PANGEA_LAYOUT): exactness-only gate,
-        # like engine.from_index. Auto: the measured plan policies.
-        if layout == "q8":
-            if not (no_sub and tout_max <= 0xFFFF
-                    and q8_nb_for(per, index.meta.k, q8w) is not None):
-                raise ValueError("q8 layout requested but exactness is "
-                                 "unreachable for this sharded index")
-            pick = "q8"
-        elif layout == "q12":
-            if not (no_sub and tout_max <= 0xFFFF):
-                raise ValueError("q12 layout requested but Euler stamps "
-                                 "exceed 16 bits (or PANGEA_NSUB set)")
-            pick = "q12"
-        elif layout == "std":
-            pick = "std"
-        elif (no_sub and q8_plan_sharded(index.meta.n_kmers, n_shard,
-                                         index.meta.k, tout_max,
-                                         ways=q8w) is not None):
-            pick = "q8"
-        elif (no_sub and q12_plan(index.meta.n_kmers, n_shard,
-                                  index.meta.k, tout_max,
-                                  ways=q12w) is not None):
-            pick = "q12"
-        else:
-            pick = "std"
+        # Same single layout decision as engine.from_index (sharded
+        # source -> never the monolithic size-capped q8 rule).
+        pick = pick_layout(
+            index.meta.n_kmers, n_shard, index.meta.k,
+            int(index.taxonomy.tout.max(initial=0)),
+            monolithic_single=False,
+            requested=os.environ.get("PANGEA_LAYOUT", "auto"),
+            no_sub=os.environ.get("PANGEA_NSUB") is None,
+            q8_ways=q8w, q12_ways=q12w)
         if pick != "std":
             return _place_sharded_streaming_quot(
                 index, mesh, confidence_threshold,
@@ -230,6 +209,24 @@ def _place_sharded_streaming(sidx, mesh: Mesh,
     return DeviceIndex(fused=fused, stash=stash, tax=tax, cfg=cfg)
 
 
+def _allreduce_max_int(mesh: Mesh, value: int) -> int:
+    """Agree on max(value) across all processes of the mesh (no-op for
+    one process). Used by the streaming quot placement so every process
+    derives the SAME common bucket count even when a host can only read
+    its own shard files, and so a stash-overflow restart happens on all
+    hosts or none (r4 review: a one-host RuntimeError left the peers
+    hanging in the collective array construction)."""
+    if jax.process_count() == 1:
+        return value
+    sh = NamedSharding(mesh, P((DATA_AXIS, SHARD_AXIS)))
+    arr = jax.make_array_from_callback(
+        (mesh.size,), sh,
+        lambda idx: np.array([value], dtype=np.int64))
+    rep = NamedSharding(mesh, P())
+    out = jax.jit(jnp.max, out_shardings=rep)(arr)
+    return int(np.asarray(out))
+
+
 def _place_sharded_streaming_quot(sidx, mesh: Mesh,
                                   confidence_threshold: float,
                                   ways: int,
@@ -268,15 +265,24 @@ def _place_sharded_streaming_quot(sidx, mesh: Mesh,
 
     counts = []
     for s in range(S):
-        khi, _klo, _v, st = open_shard(s)
+        try:
+            khi, _klo, _v, st = open_shard(s)
+        except OSError:
+            # Multi-host pod without a shared FS: a host may only read
+            # its own shards. Every shard is readable by SOME host, and
+            # the max-count all-reduce below makes nb globally agreed.
+            if jax.process_count() == 1:
+                raise
+            continue
         c = int((khi != np.uint32(EMPTY_HI)).sum())
         if st.shape[1]:
             c += int((st[0] != np.uint32(EMPTY_HI)).sum())
         counts.append(c)
-    nb = max(nb_fn(c, meta.k, ways) for c in counts)
+    cmax = _allreduce_max_int(mesh, max(counts, default=0))
+    nb = nb_fn(cmax, meta.k, ways)
     logging.getLogger(__name__).info(
         "sharded %s placement: %d shards, max %d keys/shard -> common "
-        "nb=%d (%.1f MB/shard fused)", layout, S, max(counts), nb,
+        "nb=%d (%.1f MB/shard fused)", layout, S, cmax, nb,
         nb * row_lanes * 4 / 1e6)
 
     tab_sharding = NamedSharding(mesh, P(SHARD_AXIS, None, None))
@@ -285,7 +291,7 @@ def _place_sharded_streaming_quot(sidx, mesh: Mesh,
     proc = jax.process_index()
     while True:                                   # restart-at-bigger-nb
         bufs_f, bufs_st = [], []
-        grew = False
+        grew = nb
         for s in range(S):
             owners = [d for d in dev_grid[:, s] if d.process_index == proc]
             if not owners:
@@ -295,21 +301,9 @@ def _place_sharded_streaming_quot(sidx, mesh: Mesh,
                             min_nb=nb)
             assert out is not None, "eligibility checked by place_index"
             f, st3, nb_s = out
-            if nb_s > nb:
-                if jax.process_count() > 1:
-                    # A restart driven by a LOCALLY-owned shard would
-                    # silently diverge nb (and hence rem width) across
-                    # processes — fail loudly instead of corrupting.
-                    raise RuntimeError(
-                        f"sharded {layout} placement: shard {s} outgrew "
-                        f"the common nb={nb} (stash overflow) in a "
-                        f"multi-process run; set PANGEA_LAYOUT=std")
-                logging.getLogger(__name__).info(
-                    "sharded %s placement: shard %d outgrew nb=%d -> "
-                    "restarting at nb=%d", layout, s, nb, nb_s)
-                nb = nb_s
-                grew = True
-                break
+            if nb_s > nb:                        # stash overflow (rare)
+                grew = max(grew, nb_s)
+                break                            # agree + restart below
             if st3.shape[1] < STASH_PAD:
                 pad = np.zeros((3, STASH_PAD - st3.shape[1]),
                                dtype=np.uint32)
@@ -321,8 +315,17 @@ def _place_sharded_streaming_quot(sidx, mesh: Mesh,
                 bufs_f.append(jax.device_put(f, d))
                 bufs_st.append(jax.device_put(st, d))
             del f, st, canon, taxa               # free before next shard
-        if not grew:
+        # ALL processes agree on the (possibly grown) nb before the
+        # collective array construction: a restart happens everywhere
+        # or nowhere (_allreduce_max_int docs).
+        grew = _allreduce_max_int(mesh, grew)
+        if grew == nb:
             break
+        logging.getLogger(__name__).info(
+            "sharded %s placement: a shard outgrew nb=%d -> restarting "
+            "at nb=%d (everywhere)", layout, nb, grew)
+        nb = grew
+        del bufs_f, bufs_st                      # free shipped buffers
     fused = jax.make_array_from_single_device_arrays(
         (S, nb, row_lanes), tab_sharding, bufs_f)
     stash = jax.make_array_from_single_device_arrays(

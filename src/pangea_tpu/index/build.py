@@ -201,9 +201,62 @@ def q12_plan(n_kmers: int, n_shards: int, k: int, tout_max: int,
     per = -(-max(n_kmers, 1) // max(n_shards, 1))
     if _q8_sane_nb(per, k, _Q8_WAYS, load_factor) is not None:
         return None
-    if _fits_fast(per, WAYS, load_factor):
+    # std wins whenever ANY of its build-side widths (auto_ways tries
+    # 16 and 32) keeps the table in the fast regime — testing only W=16
+    # would hand the measured-slower q12 to 1.05M-2.1M-k-mer k=31
+    # tables that a std W=32 layout still serves in-regime.
+    if _fits_fast(per, 16, load_factor) or _fits_fast(per, 32,
+                                                      load_factor):
         return None                      # std is measured-faster there
     return q12_nb_for(per, k, ways or _Q12_WAYS, load_factor)
+
+
+def pick_layout(n_kmers: int, n_shards: int, k: int, tout_max: int, *,
+                monolithic_single: bool, requested: str = "auto",
+                no_sub: bool = True, q8_ways: int = 64,
+                q12_ways: int = 0) -> str:
+    """THE device-layout decision — one source for both entry points
+    (engine.DeviceIndex.from_index and dist.place_index's streaming
+    branch; r4 review: the two had separately-coded gates that had
+    already started to drift). Returns "std" | "q8" | "q12".
+
+    requested: explicit layouts are gated on EXACTNESS only (an
+    experiment may override the perf policy at any size — advisor r3);
+    "auto" applies the measured policies: the size-capped q8_plan for a
+    monolithic table on a 1-shard mesh (monolithic_single), the
+    uncapped q8_plan_sharded otherwise, then q12_plan, then std.
+    Raises ValueError for an unknown or exactness-impossible request."""
+    from ..kernels.lookup import q8_nb_for
+    if requested not in ("std", "q8", "q12", "auto"):
+        raise ValueError(f"unknown layout {requested!r}")
+    if requested in ("q8", "q12") and not no_sub:
+        raise ValueError(f"{requested} layout is incompatible with "
+                         "n_sub > 1 / PANGEA_NSUB")
+    per = -(-max(n_kmers, 1) // max(n_shards, 1))
+    if requested == "q8":
+        if tout_max > 0xFFFF or q8_nb_for(per, k, q8_ways) is None:
+            raise ValueError(
+                "q8 layout requested but exactness is unreachable: "
+                "rem > 31 bits at the capped bucket count (k=31 — use "
+                "q12) or Euler stamps > 16 bits")
+        return "q8"
+    if requested == "q12":
+        if tout_max > 0xFFFF:
+            raise ValueError("q12 layout requested but Euler stamps "
+                             "exceed 16 bits")
+        return "q12"
+    if requested == "std" or not no_sub:
+        return "std"
+    plan8 = (q8_plan(n_kmers, k, tout_max, ways=q8_ways)
+             if monolithic_single else
+             q8_plan_sharded(n_kmers, n_shards, k, tout_max,
+                             ways=q8_ways))
+    if plan8 is not None:
+        return "q8"
+    if q12_plan(n_kmers, n_shards, k, tout_max,
+                ways=q12_ways) is not None:
+        return "q12"
+    return "std"
 
 
 def auto_ways(n_kmers: int, load_factor: float = 0.5) -> int:

@@ -150,20 +150,8 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
     if b.shape[0] > chunk:
         # Chunked gather (see _Q8_CHUNK): bounds the materialized
         # [N, 4W|6W] rows intermediate — same r4 xprof finding as q8.
-        N = b.shape[0]
-        nch = -(-N // chunk)
-        pad = nch * chunk - N
-
-        def prep(x):
-            if pad:
-                x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
-            return x.reshape(nch, chunk)
-
-        taxon, t_in, t_out = jax.lax.map(
-            lambda a: _std_lanes(*a),
-            (prep(b), prep(hi), prep(lo), prep(mine)))
-        taxon, t_in, t_out = (x.reshape(-1)[:N]
-                              for x in (taxon, t_in, t_out))
+        taxon, t_in, t_out = _map_chunks(_std_lanes, chunk, b, hi, lo,
+                                         mine)
     else:
         taxon, t_in, t_out = _std_lanes(b, hi, lo, mine)
 
@@ -217,13 +205,13 @@ def _quot_chunk() -> int:
     return max(int(os.environ.get("PANGEA_Q8_CHUNK", _Q8_CHUNK)), 1)
 
 
-def _chunked_pk(fused, b, rem_lanes, valid, W, chunk):
-    """Per-chunk gather + lane compare + payload sum: pk uint32 [N].
-    rem_lanes: one (q8) or two (q12) flat uint32 [N] remainder arrays;
-    lane set j of `fused` is compared against rem_lanes[j], the payload
-    lane set is the one after the remainder sets."""
-    n_rem = len(rem_lanes)
-    N = b.shape[0]
+def _map_chunks(lane_fn, chunk, *arrays):
+    """Run lane_fn over aligned chunks of flat same-length arrays via
+    lax.map — the one place the chunked-gather pad/reshape/unpad
+    plumbing lives. The tail pads with zeros (padding queries carry
+    valid/mine = False, so every lane is masked) and is sliced back
+    off. lane_fn(*chunks) may return one array or a tuple of arrays."""
+    N = arrays[0].shape[0]
     nch = -(-N // chunk)
     pad = nch * chunk - N
 
@@ -232,8 +220,20 @@ def _chunked_pk(fused, b, rem_lanes, valid, W, chunk):
             x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
         return x.reshape(nch, chunk)
 
-    def one(args):
-        bc, vc, *rems = args
+    out = jax.lax.map(lambda a: lane_fn(*a),
+                      tuple(prep(x) for x in arrays))
+    return jax.tree.map(lambda y: y.reshape(-1)[:N] if pad
+                        else y.reshape(-1), out)
+
+
+def _chunked_pk(fused, b, rem_lanes, valid, W, chunk):
+    """Per-chunk gather + lane compare + payload sum: pk uint32 [N].
+    rem_lanes: one (q8) or two (q12) flat uint32 [N] remainder arrays;
+    lane set j of `fused` is compared against rem_lanes[j], the payload
+    lane set is the one after the remainder sets."""
+    n_rem = len(rem_lanes)
+
+    def one(bc, vc, *rems):
         rows = fused[bc]                      # [chunk, lanes]
         hitlane = vc[:, None]
         for j, rc in enumerate(rems):
@@ -242,9 +242,7 @@ def _chunked_pk(fused, b, rem_lanes, valid, W, chunk):
                                                (n_rem + 1) * W],
                                  jnp.uint32(0)), axis=-1)
 
-    pk = jax.lax.map(one, (prep(b), prep(valid),
-                           *(prep(r) for r in rem_lanes)))
-    return pk.reshape(-1)[:N] if pad else pk.reshape(-1)
+    return _map_chunks(one, chunk, b, valid, *rem_lanes)
 
 
 def q8_hash_np(canon: _np.ndarray, k: int) -> _np.ndarray:
@@ -582,11 +580,13 @@ def lookup_q8_jnp(hi, lo, valid, fused, stash, *, k: int,
     t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
     t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
     # hit ⟺ pk != 0, EXACTLY: at most one lane matches (the (bucket,
-    # rem) ↔ K bijection), and a stored pk is tin<<16|tout with tin ≥ 1
-    # for every real taxon, so a hit's pk is ≥ 2^16 > 0. Computing hit
-    # from pk instead of any(hitlane) drops a [N, W] pred
-    # materialization + reduce from the program (xprof r4: 195 us/step
-    # + its share of the 854 us lane fusion at the headline shape).
+    # rem) ↔ K bijection), and a stored pk is tin<<16|tout with
+    # tout ≥ 1 for every real taxon (SEMANTICS §6 Euler intervals are
+    # half-open with tout > tin ≥ 0 — note the ROOT has tin == 0, so it
+    # is tout, not tin, that guarantees pk > 0). Computing hit from pk
+    # instead of any(hitlane) drops a [N, W] pred materialization +
+    # reduce from the program (xprof r4: 195 us/step + its share of the
+    # 854 us lane fusion at the headline shape).
     hit = (pk != jnp.uint32(0)).astype(jnp.int32)
 
     S = stash.shape[1]

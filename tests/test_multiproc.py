@@ -80,3 +80,55 @@ def test_two_process_classify_byte_identical(testdata, tmp_path):
         a = open(os.path.join(single, f), "rb").read()
         b = open(os.path.join(multi, f), "rb").read()
         assert a == b, f"{f} differs between 1-process and 2-process runs"
+
+
+def test_two_process_streaming_quot_placement(testdata, tmp_path):
+    """2-process STREAMING q8 placement (ShardedIndex whose shard count
+    matches the mesh): exercises the cross-process max all-reduce that
+    makes the common bucket count — and any overflow restart — globally
+    agreed (r4 review finding). Outputs byte-identical to 1-process."""
+    from pangea_tpu import cli
+    d = testdata
+    assert cli.main(["build", "--refs", f"{d}/refs.fasta",
+                     "--taxonomy", f"{d}/taxonomy.tsv", "--k", "21",
+                     "--ooc-shards", "2",
+                     "--out", f"{d}/idx21s2"]) == 0
+
+    def args(out, extra=()):
+        return (["classify", "--index", f"{d}/idx21s2",
+                 "--reads", f"{d}/reads_1.fastq",
+                 "--mates", f"{d}/reads_2.fastq", "--samples", "s",
+                 "--out", out, "input.batch_size=64",
+                 "input.max_read_len=120", "mesh.n_data=2",
+                 "mesh.n_shard=2"] + list(extra))
+
+    def spawn(out, n_dev, extra=()):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.join(REPO, "src")
+        env["PANGEA_TPU_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                            f"{n_dev}")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        return subprocess.Popen(
+            [sys.executable, "-m", "pangea_tpu.cli"] + args(out, extra),
+            env=env, cwd=REPO,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+
+    single = str(tmp_path / "single")
+    p = spawn(single, 4)
+    _, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()
+
+    multi = str(tmp_path / "multi")
+    port = _free_port()
+    extra = [f"dist.coordinator=127.0.0.1:{port}",
+             "dist.num_processes=2"]
+    procs = [spawn(multi, 2, extra + [f"dist.process_id={i}"])
+             for i in range(2)]
+    errs = [p.communicate(timeout=600)[1] for p in procs]
+    for p, err in zip(procs, errs):
+        assert p.returncode == 0, err.decode()
+    for f in ("s.assign.tsv", "s.summary.tsv"):
+        a = open(os.path.join(single, f), "rb").read()
+        b = open(os.path.join(multi, f), "rb").read()
+        assert a == b, f"{f} differs between 1-process and 2-process runs"

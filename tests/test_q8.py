@@ -367,10 +367,14 @@ def test_multik_fused_q8_plus_q12(world, monkeypatch):
 
 def test_q12_plan_rules():
     from pangea_tpu.index.build import q12_plan
-    assert q12_plan(2_000_000, 1, 31, 100) is not None    # the k=31 lane
-    assert q12_plan(2_000_000, 1, 21, 100) is None        # q8 covers k=21
-    assert q12_plan(2_000_000, 1, 31, 100_000) is None    # stamps > 16 bit
-    assert q12_plan(444_000, 1, 31, 100) is None   # fast regime: std wins
+    assert q12_plan(4_000_000, 1, 31, 100) is not None    # the k=31 lane
+    assert q12_plan(4_000_000, 1, 21, 100) is None        # q8 covers k=21
+    assert q12_plan(4_000_000, 1, 31, 100_000) is None    # stamps > 16 bit
+    # In-regime sizes stay std — including 1.05M-2.1M, where only the
+    # W=32 std build fits (the W=16-only check handed those to the
+    # measured-slower q12; r4 review finding #1).
+    assert q12_plan(444_000, 1, 31, 100) is None
+    assert q12_plan(2_000_000, 1, 31, 100) is None
     assert q12_plan(40_000_000, 4, 27, 100) is not None  # big k=27 shards
 
 
