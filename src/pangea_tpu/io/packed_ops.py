@@ -30,17 +30,29 @@ def qtrim_cut(quals: np.ndarray, lens: np.ndarray, min_qual: float,
     """Vectorized twin of io.trim._trim_one's 3' quality rule: new length =
     first window-anchored position whose mean phred < min_qual (reads
     shorter than `window` pass through). quals: uint8 [B, L] (0-padded);
-    lens: stored lengths (≤ L)."""
+    lens: stored lengths (≤ L).
+
+    Integer fast path (r4 — this call was 3.2 s of the 4.1 s host budget
+    per 262k-read config-5 batch, the whole-pipeline ceiling): instead
+    of a [B, L+1] int64 cumsum + [B, nwin] float64 division, window sums
+    accumulate in uint16 and compare against S_CRIT — the smallest
+    integer sum whose FLOAT mean (fl(s/window), the general path's
+    arithmetic) reaches min_qual, found by scanning the ≤ 255·window
+    possible sums. mean < min_qual ⟺ sum < s_crit exactly, so the
+    result stays bit-identical to io.trim for every window and qual."""
     B, L = quals.shape
     lens = np.minimum(np.asarray(lens, np.int64), L)
     if min_qual <= 0 or L < window:
         return lens.astype(np.int32)
-    cs = np.zeros((B, L + 1), np.int64)
-    np.cumsum(quals, axis=1, out=cs[:, 1:])
+    sums = np.arange(255 * window + 2, dtype=np.int64)
+    ge = np.flatnonzero(sums / window >= min_qual)
+    s_crit = np.uint16(ge[0]) if ge.size else np.uint16(255 * window + 2)
     nwin = L - window + 1
-    means = (cs[:, window:window + nwin] - cs[:, :nwin]) / window
-    okwin = np.arange(nwin)[None, :] <= (lens[:, None] - window)
-    bad = (means < min_qual) & okwin
+    wsum = quals[:, :nwin].astype(np.uint16)
+    for j in range(1, window):
+        wsum += quals[:, j:j + nwin]
+    bad = (wsum < s_crit)
+    bad &= np.arange(nwin)[None, :] <= (lens[:, None] - window)
     has = bad.any(axis=1)
     cut = np.where(has, bad.argmax(axis=1), lens)
     return np.where(lens >= window, cut, lens).astype(np.int32)
