@@ -422,123 +422,145 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     drainer.start()
 
     stride = (L + 15) // 16 + (L + 31) // 32   # packed wire row width
-    truncated = 0
-    for fpath, mpath, fsample in zip(files, mates, samples):
-        if demux_names is None:
-            sample_paths[fsample] = os.path.join(out_dir,
-                                                 f"{fsample}.assign.tsv")
-        done = manifest.reads_done(fpath)
-        seen = 0
-        want_q = trim_cfg.min_qual > 0 and sniff_format(fpath) == "fastq"
-        r1 = NativeFastxReader(fpath, B, L, want_quals=want_q)
-        r2 = NativeFastxReader(
-            mpath, B, L,
-            want_quals=trim_cfg.min_qual > 0
-            and sniff_format(mpath) == "fastq") if mpath else None
-        try:
-            while True:
-                if drain_err:
-                    raise drain_err[0]
-                b1 = r1.next_batch_packed()
-                if b1 is None:
-                    break
-                n, ids_raw, rows, lens1, quals1 = b1
-                if r2 is not None:
-                    b2 = r2.next_batch_packed()
-                    if b2 is None or b2[0] != n:
-                        raise ValueError(f"{mpath}: record count mismatch "
-                                         f"with {fpath}")
-                    _, mids_raw, mrows, mlens, mquals = b2
-                if seen + n <= done:       # resume: whole batch already done
+    trunc = [0]
+
+    # Producer: parse + trim + demux + pack on a PREFETCH thread (depth
+    # 2), overlapping the main thread's device_put + launch. r4 host
+    # profiling: production costs ~1.5 s per 262k cohort batch while the
+    # transfer+launch side costs ~1 s — serialized they capped config 5
+    # at ~175k reads/s on this 2-core host; overlapped, the slower side
+    # alone binds. Buffers are fresh per batch (io.native), so handing
+    # them across the thread is race-free.
+    def _produce():
+        for fpath, mpath, fsample in zip(files, mates, samples):
+            if demux_names is None:
+                sample_paths[fsample] = os.path.join(
+                    out_dir, f"{fsample}.assign.tsv")
+            done = manifest.reads_done(fpath)
+            seen = 0
+            want_q = trim_cfg.min_qual > 0 and \
+                sniff_format(fpath) == "fastq"
+            r1 = NativeFastxReader(fpath, B, L, want_quals=want_q)
+            r2 = NativeFastxReader(
+                mpath, B, L,
+                want_quals=trim_cfg.min_qual > 0
+                and sniff_format(mpath) == "fastq") if mpath else None
+            try:
+                while True:
+                    b1 = r1.next_batch_packed()
+                    if b1 is None:
+                        break
+                    n, ids_raw, rows, lens1, quals1 = b1
+                    if r2 is not None:
+                        b2 = r2.next_batch_packed()
+                        if b2 is None or b2[0] != n:
+                            raise ValueError(f"{mpath}: record count "
+                                             f"mismatch with {fpath}")
+                        _, mids_raw, mrows, mlens, mquals = b2
+                    if seen + n <= done:   # resume: batch already done
+                        seen += n
+                        continue
+                    write_from = max(done - seen, 0)
                     seen += n
-                    continue
-                write_from = max(done - seen, 0)
-                seen += n
-                # Truncation is counted AFTER the resume skip and only over
-                # the newly processed tail — a resumed run must not re-count
-                # pre-crash batches (VERDICT r3 weak #5: killed+resumed
-                # truncated_reads must equal the uninterrupted run's).
-                truncated += int((lens1[write_from:n] > L).sum())
-                if r2 is not None:
-                    truncated += int((mlens[write_from:n] > L).sum())
-                t0 = time.time()
-                if processing:
-                    # Whole-batch trim/demux/strip on the packed rows —
-                    # order matches the general path: quality trim, then
-                    # length filter, then demux (io.packed_ops).
-                    lens_eff = np.minimum(lens1[:n], L).astype(np.int32)
-                    if quals1 is not None:
-                        lens_eff = qtrim_cut(quals1[:n], lens_eff,
-                                             trim_cfg.min_qual,
-                                             trim_cfg.window)
-                    if trim_cfg.max_len:
-                        lens_eff = np.minimum(lens_eff, trim_cfg.max_len)
+                    # Truncation is counted AFTER the resume skip and
+                    # only over the newly processed tail — a resumed run
+                    # must not re-count pre-crash batches (VERDICT r3
+                    # weak #5).
+                    trunc[0] += int((lens1[write_from:n] > L).sum())
                     if r2 is not None:
-                        mlens_eff = np.minimum(mlens[:n], L).astype(np.int32)
-                        if mquals is not None:
-                            mlens_eff = qtrim_cut(mquals[:n], mlens_eff,
-                                                  trim_cfg.min_qual,
-                                                  trim_cfg.window)
+                        trunc[0] += int((mlens[write_from:n] > L).sum())
+                    t0 = time.time()
+                    if processing:
+                        # Whole-batch trim/demux/strip on the packed
+                        # rows — order matches the general path: quality
+                        # trim, then length filter, then demux
+                        # (io.packed_ops).
+                        lens_eff = np.minimum(lens1[:n], L) \
+                            .astype(np.int32)
+                        if quals1 is not None:
+                            lens_eff = qtrim_cut(quals1[:n], lens_eff,
+                                                 trim_cfg.min_qual,
+                                                 trim_cfg.window)
                         if trim_cfg.max_len:
-                            mlens_eff = np.minimum(mlens_eff,
-                                                   trim_cfg.max_len)
-                    keep = np.ones(n, bool)
-                    if trim_cfg.min_len:
-                        keep &= lens_eff >= trim_cfg.min_len
+                            lens_eff = np.minimum(lens_eff,
+                                                  trim_cfg.max_len)
                         if r2 is not None:
-                            keep &= mlens_eff >= trim_cfg.min_len
-                    rows_n = rows[:n]
-                    bins = None
-                    if bc_codes is not None:
-                        bins, strip = demux_assign(
-                            rows_n, L, lens_eff, bc_codes,
-                            demux_cfg.max_mismatch)
-                        rows_n = strip_rows(rows_n, L, strip)
-                        lens_eff = lens_eff - strip
-                    rows_n = mask_tail(rows_n, L, lens_eff)
-                    kidx = np.flatnonzero(keep)
-                    nk = kidx.size
-                    rows[:nk] = rows_n[kidx]
-                    if r2 is not None:
-                        mask_tail(mrows[:n], L, mlens_eff)
-                        mrows[:nk] = mrows[kidx]
-                    pos0 = int(np.searchsorted(kidx, write_from))
-                    ids_np = np.frombuffer(ids_raw, np.uint8) \
-                        .reshape(B, _ID_STRIDE)
-                    groups = []
-                    if bins is None:
-                        ps = np.arange(pos0, nk)
-                        if ps.size:
-                            groups.append((fsample, ps,
-                                           ids_np[kidx[ps]].tobytes()))
-                    else:
-                        bins_c = bins[kidx]
-                        for bi in np.unique(bins_c):
-                            name = demux_names[bi] if bi >= 0 \
-                                else UNDETERMINED
-                            ps = np.flatnonzero(bins_c == bi)
-                            ps = ps[ps >= pos0]
+                            mlens_eff = np.minimum(mlens[:n], L) \
+                                .astype(np.int32)
+                            if mquals is not None:
+                                mlens_eff = qtrim_cut(mquals[:n],
+                                                      mlens_eff,
+                                                      trim_cfg.min_qual,
+                                                      trim_cfg.window)
+                            if trim_cfg.max_len:
+                                mlens_eff = np.minimum(mlens_eff,
+                                                       trim_cfg.max_len)
+                        keep = np.ones(n, bool)
+                        if trim_cfg.min_len:
+                            keep &= lens_eff >= trim_cfg.min_len
+                            if r2 is not None:
+                                keep &= mlens_eff >= trim_cfg.min_len
+                        rows_n = rows[:n]
+                        bins = None
+                        if bc_codes is not None:
+                            bins, strip = demux_assign(
+                                rows_n, L, lens_eff, bc_codes,
+                                demux_cfg.max_mismatch)
+                            rows_n = strip_rows(rows_n, L, strip)
+                            lens_eff = lens_eff - strip
+                        rows_n = mask_tail(rows_n, L, lens_eff)
+                        kidx = np.flatnonzero(keep)
+                        nk = kidx.size
+                        rows[:nk] = rows_n[kidx]
+                        if r2 is not None:
+                            mask_tail(mrows[:n], L, mlens_eff)
+                            mrows[:nk] = mrows[kidx]
+                        pos0 = int(np.searchsorted(kidx, write_from))
+                        ids_np = np.frombuffer(ids_raw, np.uint8) \
+                            .reshape(B, _ID_STRIDE)
+                        groups = []
+                        if bins is None:
+                            ps = np.arange(pos0, nk)
                             if ps.size:
-                                groups.append((name, ps,
-                                               ids_np[kidx[ps]].tobytes()))
-                else:
-                    groups = [(fsample, (write_from, n),
-                               ids_raw[write_from * _ID_STRIDE:])]
+                                groups.append((fsample, ps,
+                                               ids_np[kidx[ps]]
+                                               .tobytes()))
+                        else:
+                            bins_c = bins[kidx]
+                            for bi in np.unique(bins_c):
+                                name = demux_names[bi] if bi >= 0 \
+                                    else UNDETERMINED
+                                ps = np.flatnonzero(bins_c == bi)
+                                ps = ps[ps >= pos0]
+                                if ps.size:
+                                    groups.append((name, ps,
+                                                   ids_np[kidx[ps]]
+                                                   .tobytes()))
+                    else:
+                        groups = [(fsample, (write_from, n),
+                                   ids_raw[write_from * _ID_STRIDE:])]
+                    if r2 is not None:
+                        # ONE combined host→device transfer per batch —
+                        # the link charges a large fixed cost per
+                        # transfer.
+                        rows = np.concatenate([rows, mrows], axis=1)
+                    yield {"fpath": fpath, "n_in": n - write_from,
+                           "groups": groups, "rows": rows, "t0": t0}
+            finally:
+                r1.close()
                 if r2 is not None:
-                    # ONE combined host→device transfer per batch — the
-                    # link charges a large fixed cost per transfer.
-                    rows = np.concatenate([rows, mrows], axis=1)
-                combo = _put_batch(rows, bsh)
-                dev_b = combo[:, :stride] if paired else combo
-                dev_m = combo[:, stride:] if paired else None
-                outs = launch_step(dev_b, dev_m)
-                drain_q.put({"fpath": fpath, "n_in": n - write_from,
-                             "groups": groups, "outs": outs, "t0": t0,
-                             "t_launch": time.time() - t0})
-        finally:
-            r1.close()
-            if r2 is not None:
-                r2.close()
+                    r2.close()
+
+    for item in _prefetch(_produce(), maxsize=2):
+        if drain_err:
+            raise drain_err[0]
+        rows = item.pop("rows")
+        combo = _put_batch(rows, bsh)
+        dev_b = combo[:, :stride] if paired else combo
+        dev_m = combo[:, stride:] if paired else None
+        item["outs"] = launch_step(dev_b, dev_m)
+        item["t_launch"] = time.time() - item["t0"]
+        drain_q.put(item)
     drain_q.put(_END)
     drainer.join()
     dur_q.put(_END)          # after drain: all flushes are enqueued
@@ -580,8 +602,8 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(sample_stats, fh, indent=2, sort_keys=True)
 
-    if truncated:
-        print(f"[classify] WARNING: {truncated} reads exceeded "
+    if trunc[0]:
+        print(f"[classify] WARNING: {trunc[0]} reads exceeded "
               f"input.max_read_len={L} and were truncated on the fast "
               f"path. For exact long-read classification set "
               f"input.long_reads=true (general path, length-bucketed) or "
@@ -593,7 +615,7 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                                       / max(totals["reads"], 1), 2),
               "mesh": {"data": mcfg.n_data, "shard": mcfg.n_shard},
               "samples": sorted(sample_direct), "fast_path": True,
-              "truncated_reads": truncated, "indexes": list(index_info),
+              "truncated_reads": trunc[0], "indexes": list(index_info),
               **gauge.summary(),
               **({"compile_sec": round(compile_sec[0], 1)}
                  if compile_sec else {})}
