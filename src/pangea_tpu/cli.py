@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 
@@ -108,9 +109,36 @@ def main(argv=None) -> int:
     be.add_argument("overrides", nargs="*")
 
     args = p.parse_args(argv)
+    _rescue_overrides(args)
     return {"build": _cmd_build, "classify": _cmd_classify,
             "report": _cmd_report, "gen-testdata": _cmd_gen,
             "bench": _cmd_bench}[args.cmd](args)
+
+
+# Dotted override shape: section.key[=...]; every real override has at
+# least one dot (the config tree has no top-level scalars).
+_OVERRIDE_RE = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)+=")
+
+
+def _rescue_overrides(args) -> None:
+    """argparse's greedy nargs='+' list options swallow trailing
+    positional overrides: ``--samples m input.batch_size=32`` parses
+    both tokens into --samples and the override is SILENTLY dropped
+    (r4: a test sweeping batch sizes measured nothing). Move anything
+    shaped like a dotted override out of list options into
+    args.overrides, preserving order."""
+    if not hasattr(args, "overrides"):
+        return
+    rescued = []
+    for name, val in vars(args).items():
+        if name == "overrides" or not isinstance(val, list):
+            continue
+        keep = [v for v in val
+                if not (isinstance(v, str) and _OVERRIDE_RE.match(v))]
+        if len(keep) != len(val):
+            rescued += [v for v in val if v not in keep]
+            setattr(args, name, keep)
+    args.overrides = rescued + list(args.overrides)
 
 
 def _cmd_build(args) -> int:

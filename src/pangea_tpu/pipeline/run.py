@@ -666,6 +666,15 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     indexes = [load_index_any(p) for p in cfg.classify.index]
     if not indexes:
         raise ValueError("classify.index must name at least one index")
+    # Fail loudly on ragged input lists — zip() would silently truncate
+    # (r4: a CLI parse bug fed garbage sample names and the run quietly
+    # processed a subset).
+    if cfg.input.samples and len(cfg.input.samples) != len(cfg.input.reads):
+        raise ValueError(f"{len(cfg.input.samples)} sample names for "
+                         f"{len(cfg.input.reads)} read files")
+    if cfg.input.mates and len(cfg.input.mates) != len(cfg.input.reads):
+        raise ValueError(f"{len(cfg.input.mates)} mate files for "
+                         f"{len(cfg.input.reads)} read files")
     tax = indexes[0].taxonomy
     for ix in indexes[1:]:
         if ix.meta.taxonomy_hash != indexes[0].meta.taxonomy_hash:

@@ -110,14 +110,23 @@ def test_fast_path_matches_python_path(testdata, tmp_path, monkeypatch):
     if not native_available():
         pytest.skip("native io unavailable")
     d = testdata
+    # batch_size=32 -> ~10 batches, enough for the ready-gap gauge to
+    # emit a steady-state rate past its pipeline-fill skip window.
     args = ["classify", "--index", f"{d}/idx21", f"{d}/idx31",
             "--reads", f"{d}/reads_1.fastq",
             "--mates", f"{d}/reads_2.fastq", "--samples", "m",
-            "input.batch_size=128", "input.max_read_len=120",
+            "input.batch_size=32", "input.max_read_len=120",
             "classify.confidence_threshold=0.05"]
     fast = str(tmp_path / "fast")
     assert cli.main(args + ["--out", fast]) == 0
-    assert json.load(open(f"{fast}/run_summary.json")).get("fast_path")
+    summary = json.load(open(f"{fast}/run_summary.json"))
+    assert summary.get("fast_path")
+    # Observability schema (VERDICT r3 #8/#9): weather-immune device
+    # gauge + cumulative compile bill must be present in every summary.
+    assert summary["device_reads_per_sec"] > 0
+    assert summary["compile_sec"] >= 0
+    first = json.loads(open(f"{fast}/metrics.jsonl").readline())
+    assert "fetch_sec" in first and "ready_gap_sec" in first
     slow = str(tmp_path / "slow")
     monkeypatch.setenv("PANGEA_NO_NATIVE", "1")
     assert cli.main(args + ["--out", slow]) == 0
