@@ -89,12 +89,9 @@ class DeviceIndex:
                   and os.environ.get("PANGEA_NSUB") is None)
         # ONE layout decision for all entry points (index.build
         # .pick_layout — explicit requests exactness-gated, auto applies
-        # the measured policies; the monolithic 1-shard case keeps the
-        # round-3 size-capped q8 rule).
+        # the measured policies).
         layout = pick_layout(
             index.meta.n_kmers, n_shards, index.meta.k, tout_max,
-            monolithic_single=(n_shards == 1
-                               and hasattr(index, "key_hi")),
             requested=layout, no_sub=no_sub, q8_ways=q8_ways,
             q12_ways=q12_ways)
         if layout in ("q8", "q12"):

@@ -96,12 +96,10 @@ def place_index(index: Index, mesh: Mesh,
         from ..kernels.lookup import _Q8_WAYS, _Q12_WAYS
         q8w = int(os.environ.get("PANGEA_Q8_WAYS", _Q8_WAYS))
         q12w = int(os.environ.get("PANGEA_Q12_WAYS", _Q12_WAYS))
-        # Same single layout decision as engine.from_index (sharded
-        # source -> never the monolithic size-capped q8 rule).
+        # Same single layout decision as engine.from_index.
         pick = pick_layout(
             index.meta.n_kmers, n_shard, index.meta.k,
             int(index.taxonomy.tout.max(initial=0)),
-            monolithic_single=False,
             requested=os.environ.get("PANGEA_LAYOUT", "auto"),
             no_sub=os.environ.get("PANGEA_NSUB") is None,
             q8_ways=q8w, q12_ways=q12w)

@@ -122,25 +122,9 @@ def choose_n_sub(n_kmers_per_shard: int, ways: int,
     return 1
 
 
-def q8_plan(n_kmers: int, k: int, tout_max: int,
-            load_factor: float = 0.5, ways: int = 64) -> int | None:
-    """Eligibility of the q8 quotiented-key device layout (8 B/slot,
-    kernels.lookup.q8_layout): returns the expected bucket count when a
-    q8 table would land ENTIRELY in the fast-gather regime with a single
-    probe, else None. Requires the quotient remainder to fit 31 bits
-    (2k − log2 NB ≤ 31) and 16-bit Euler stamps."""
-    if tout_max > 0xFFFF:
-        return None
-    nb = 8
-    while nb * ways * load_factor < max(n_kmers, 1):
-        nb *= 2
-    while 2 * k - (nb.bit_length() - 1) > 31 and nb <= (1 << 26):
-        nb *= 2                 # widen NB to shrink the remainder
-    if 2 * k - (nb.bit_length() - 1) > 31:
-        return None
-    if nb <= FAST_ROWS and nb * ways * 8 <= FAST_BYTES:
-        return nb
-    return None
+# (The round-3 fast-regime-capped q8_plan is retired: r4 measured q8
+# ≥ std beyond the regime too, so pick_layout uses the sane-nb rule
+# (q8_plan_sharded / _q8_sane_nb) for every table.)
 
 
 def _q8_sane_nb(n: int, k: int, ways: int,
@@ -212,9 +196,8 @@ def q12_plan(n_kmers: int, n_shards: int, k: int, tout_max: int,
 
 
 def pick_layout(n_kmers: int, n_shards: int, k: int, tout_max: int, *,
-                monolithic_single: bool, requested: str = "auto",
-                no_sub: bool = True, q8_ways: int = 64,
-                q12_ways: int = 0) -> str:
+                requested: str = "auto", no_sub: bool = True,
+                q8_ways: int = 64, q12_ways: int = 0) -> str:
     """THE device-layout decision — one source for both entry points
     (engine.DeviceIndex.from_index and dist.place_index's streaming
     branch; r4 review: the two had separately-coded gates that had
@@ -222,10 +205,12 @@ def pick_layout(n_kmers: int, n_shards: int, k: int, tout_max: int, *,
 
     requested: explicit layouts are gated on EXACTNESS only (an
     experiment may override the perf policy at any size — advisor r3);
-    "auto" applies the measured policies: the size-capped q8_plan for a
-    monolithic table on a 1-shard mesh (monolithic_single), the
-    uncapped q8_plan_sharded otherwise, then q12_plan, then std.
-    Raises ValueError for an unknown or exactness-impossible request."""
+    "auto" applies the measured policies: q8 wherever exactness is
+    reachable sanely (the round-3 fast-regime cap is retired — r4
+    measured q8 ≥ std BEYOND the regime too: 61.6 vs 66.2 ms at a
+    28M-k-mer table, at 1/4 the HBM, experiments/mb_shardq8.py), then
+    q12_plan for the k=31 family, then std. Raises ValueError for an
+    unknown or exactness-impossible request."""
     from ..kernels.lookup import q8_nb_for
     if requested not in ("std", "q8", "q12", "auto"):
         raise ValueError(f"unknown layout {requested!r}")
@@ -247,10 +232,8 @@ def pick_layout(n_kmers: int, n_shards: int, k: int, tout_max: int, *,
         return "q12"
     if requested == "std" or not no_sub:
         return "std"
-    plan8 = (q8_plan(n_kmers, k, tout_max, ways=q8_ways)
-             if monolithic_single else
-             q8_plan_sharded(n_kmers, n_shards, k, tout_max,
-                             ways=q8_ways))
+    plan8 = q8_plan_sharded(n_kmers, n_shards, k, tout_max,
+                            ways=q8_ways)
     if plan8 is not None:
         return "q8"
     if q12_plan(n_kmers, n_shards, k, tout_max,

@@ -11,7 +11,7 @@ import pytest
 from pangea_tpu.classify.engine import (ClassifyConfig, DeviceIndex,
                                         make_classify_fn, pad_batch)
 from pangea_tpu.golden import classify_reads_golden
-from pangea_tpu.index.build import build_index, q8_plan
+from pangea_tpu.index.build import build_index
 from pangea_tpu.index.shard import extract_pairs
 from pangea_tpu.kernels.lookup import (_Q8_WAYS, lookup_q8_jnp, q8_hash_np,
                                        q8_layout)
@@ -127,12 +127,14 @@ def test_q8_lifting_path_matches_direct(world, monkeypatch):
 
 
 def test_q8_auto_policy():
-    """q8_plan eligibility bounds (the auto policy prefers q8 wherever
-    these hold): k=31 (62-bit k-mers) never qualifies at small NB."""
-    assert q8_plan(2_000_000, 21, 100) is not None       # dense parity idx
-    assert q8_plan(2_000_000, 31, 100) is None           # rem > 31 bits
-    assert q8_plan(2_000_000, 21, 100_000) is None       # stamps > 16 bit
-    assert q8_plan(400_000_000, 21, 100) is None         # beyond regime
+    """q8 eligibility bounds via the unified plan (r4: the fast-regime
+    cap is retired — q8 applies at ANY size where exactness is sane):
+    k=31 never qualifies; wide Euler stamps never qualify."""
+    from pangea_tpu.index.build import q8_plan_sharded
+    assert q8_plan_sharded(2_000_000, 1, 21, 100) is not None
+    assert q8_plan_sharded(2_000_000, 1, 31, 100) is None   # rem > 31
+    assert q8_plan_sharded(2_000_000, 1, 21, 100_000) is None
+    assert q8_plan_sharded(400_000_000, 1, 21, 100) is not None
 
 
 def test_tin2node_inverse(world):
@@ -438,3 +440,22 @@ def test_chunked_std_lookup_bit_identical(world, monkeypatch):
            for k, v in make_classify_fn(di.cfg)(di.tables, bases).items()}
     for k in ("taxon", "best", "nvalid"):
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_pick_layout_policy():
+    """The unified layout decision (r4): q8 wherever sanely exact — the
+    round-3 fast-regime cap is retired (q8 measured >= std beyond the
+    regime too, mb_shardq8); q12 for the k=31 family beyond the regime;
+    std inside it for k=31; explicit requests exactness-gated."""
+    from pangea_tpu.index.build import pick_layout
+    assert pick_layout(444_302, 1, 21, 100) == "q8"       # headline
+    assert pick_layout(28_000_000, 1, 21, 100) == "q8"    # beyond regime
+    assert pick_layout(444_302, 1, 31, 100) == "std"      # in-regime k31
+    assert pick_layout(28_000_000, 1, 31, 100) == "q12"   # big k31
+    assert pick_layout(28_000_000, 1, 21, 100_000) == "std"  # wide stamps
+    assert pick_layout(444_302, 1, 21, 100, requested="std") == "std"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pick_layout(444_302, 1, 31, 100, requested="q8")  # k31 q8 inexact
+    with _pt.raises(ValueError):
+        pick_layout(444_302, 1, 21, 100, requested="nope")
