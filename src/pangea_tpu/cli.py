@@ -109,7 +109,7 @@ def main(argv=None) -> int:
     be.add_argument("overrides", nargs="*")
 
     args = p.parse_args(argv)
-    _rescue_overrides(args)
+    _rescue_overrides(args, sys.argv[1:] if argv is None else argv)
     return {"build": _cmd_build, "classify": _cmd_classify,
             "report": _cmd_report, "gen-testdata": _cmd_gen,
             "bench": _cmd_bench}[args.cmd](args)
@@ -120,25 +120,40 @@ def main(argv=None) -> int:
 _OVERRIDE_RE = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)+=")
 
 
-def _rescue_overrides(args) -> None:
+def _rescue_overrides(args, argv) -> None:
     """argparse's greedy nargs='+' list options swallow trailing
     positional overrides: ``--samples m input.batch_size=32`` parses
     both tokens into --samples and the override is SILENTLY dropped
     (r4: a test sweeping batch sizes measured nothing). Move anything
     shaped like a dotted override out of list options into
-    args.overrides, preserving order."""
+    args.overrides — ordered by ORIGINAL argv position (ADVICE r4: with
+    two greedy options each swallowing overrides, namespace-attribute
+    order would scramble later-key-wins precedence)."""
     if not hasattr(args, "overrides"):
         return
+    argv = list(argv or [])
+    used: set = set()
+
+    def pos_of(tok):
+        for i, a in enumerate(argv):
+            if a == tok and i not in used:
+                used.add(i)
+                return i
+        return len(argv) + len(used)     # untracked argv: stable tail
+
     rescued = []
     for name, val in vars(args).items():
         if name == "overrides" or not isinstance(val, list):
             continue
-        keep = [v for v in val
-                if not (isinstance(v, str) and _OVERRIDE_RE.match(v))]
-        if len(keep) != len(val):
-            rescued += [v for v in val if v not in keep]
+        keep, moved = [], []
+        for v in val:
+            (moved if isinstance(v, str) and _OVERRIDE_RE.match(v)
+             else keep).append(v)
+        if moved:
             setattr(args, name, keep)
-    args.overrides = rescued + list(args.overrides)
+            rescued += [(pos_of(v), v) for v in moved]
+    rescued.sort(key=lambda t: t[0])
+    args.overrides = [v for _, v in rescued] + list(args.overrides)
 
 
 def _cmd_build(args) -> int:

@@ -46,6 +46,12 @@ class ClassifyCfg:
     confidence_threshold: float = 0.0
     out_dir: str = "out"
     resume: bool = False
+    # Precompile the steady-state classify program on a zeros batch before
+    # streaming (VERDICT r4 #8): first compiles cost 40-200+ s per shape
+    # through the remote-TPU tunnel, and without warmup that bill lands
+    # silently inside batch 1. Compiles after warmup (long-read buckets,
+    # unexpected shapes) are counted + warned.
+    warmup: bool = True
 
 
 @dataclass

@@ -278,6 +278,9 @@ def _place_sharded_streaming_quot(sidx, mesh: Mesh,
         counts.append(c)
     cmax = _allreduce_max_int(mesh, max(counts, default=0))
     nb = nb_fn(cmax, meta.k, ways)
+    assert nb is not None, \
+        (f"{layout} ineligible for k={meta.k} at {cmax} keys/shard — "
+         f"pick_layout should not have routed this index here")
     logging.getLogger(__name__).info(
         "sharded %s placement: %d shards, max %d keys/shard -> common "
         "nb=%d (%.1f MB/shard fused)", layout, S, cmax, nb,

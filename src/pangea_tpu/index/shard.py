@@ -139,10 +139,13 @@ def shard_tables_quot(index, n_shards: int, ways: int,
     canon, taxa = extract_pairs(index)
     owner = owner_of(canon, n_shards)
     counts = np.bincount(owner.astype(np.int64), minlength=n_shards)
-    nb = max((nb_fn(int(c), k, ways, load_factor) or 0)
-             for c in counts) if n_shards else None
-    if not nb:
+    nbs = [nb_fn(int(c), k, ways, load_factor) for c in counts]
+    if not nbs or any(v is None for v in nbs):
+        # Ineligibility is k-driven (rem width at the capped nb), so one
+        # ineligible shard means all are — bail explicitly rather than
+        # masking a None into the max (ADVICE r4).
         return None
+    nb = max(nbs)
     while True:                     # rare: a shard outgrows the target nb
         parts = []
         for s in range(n_shards):

@@ -46,9 +46,12 @@ def qtrim_cut(quals: np.ndarray, lens: np.ndarray, min_qual: float,
         return lens.astype(np.int32)
     sums = np.arange(255 * window + 2, dtype=np.int64)
     ge = np.flatnonzero(sums / window >= min_qual)
-    s_crit = np.uint16(ge[0]) if ge.size else np.uint16(255 * window + 2)
+    # uint16 holds any window-sum only for window <= 256 (max 255*256);
+    # wider windows accumulate in int32 — still branch-free, never wraps.
+    acc_t = np.uint16 if window <= 256 else np.int32
+    s_crit = acc_t(ge[0]) if ge.size else acc_t(255 * window + 2)
     nwin = L - window + 1
-    wsum = quals[:, :nwin].astype(np.uint16)
+    wsum = quals[:, :nwin].astype(acc_t)
     for j in range(1, window):
         wsum += quals[:, j:j + nwin]
     bad = (wsum < s_crit)

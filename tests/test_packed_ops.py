@@ -153,7 +153,8 @@ def test_fast_path_demux_trim_matches_slow(tmp_path, monkeypatch):
             ',["sampleC","GATTACA"]]', "demux.max_mismatch=1"]
     fast = str(tmp_path / "fast")
     assert cli.main(args + ["--out", fast] + over) == 0
-    assert json.load(open(f"{fast}/run_summary.json")).get("fast_path")
+    fsum = json.load(open(f"{fast}/run_summary.json"))
+    assert fsum.get("fast_path")
     slow = str(tmp_path / "slow")
     monkeypatch.setenv("PANGEA_NO_NATIVE", "1")
     assert cli.main(args + ["--out", slow] + over) == 0
@@ -162,3 +163,14 @@ def test_fast_path_demux_trim_matches_slow(tmp_path, monkeypatch):
     assert len([f for f in names if f.endswith(".assign.tsv")]) == 4
     for f in names:
         assert open(f"{fast}/{f}").read() == open(f"{slow}/{f}").read(), f
+    # reads_in/reads_kept/reads_filtered schema (VERDICT r4 weak #5):
+    # both paths account identically, and kept == assignment rows.
+    ssum = json.load(open(f"{slow}/run_summary.json"))
+    n_rows = sum(sum(1 for _ in open(f"{slow}/{f}"))
+                 for f in names if f.endswith(".assign.tsv"))
+    for s in (fsum, ssum):
+        assert s["reads_in"] == s["reads"] == 240
+        assert s["reads_kept"] + s["reads_filtered"] == s["reads_in"]
+        assert s["reads_kept"] == n_rows
+    assert 0 < fsum["reads_kept"] < 240   # min_len actually filtered
+    assert fsum["reads_kept"] == ssum["reads_kept"]

@@ -125,6 +125,10 @@ def test_fast_path_matches_python_path(testdata, tmp_path, monkeypatch):
     # gauge + cumulative compile bill must be present in every summary.
     assert summary["device_reads_per_sec"] > 0
     assert summary["compile_sec"] >= 0
+    # Declared warmup (VERDICT r4 #8): the steady shape compiles at
+    # warmup; a fixed-shape run must see NO late (mid-stream) compiles.
+    assert summary["warmup_compile_sec"] >= 0
+    assert summary["late_compiled_shapes"] == 0
     first = json.loads(open(f"{fast}/metrics.jsonl").readline())
     assert "fetch_sec" in first and "ready_gap_sec" in first
     slow = str(tmp_path / "slow")
