@@ -12,6 +12,7 @@ arrays (SEMANTICS.md §11).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -180,17 +181,11 @@ def _shard_view(arr, s, n_sub):
     return arr[s]
 
 
-def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
-                      shard_id=0, mate_bases=None, packed_len: int = 0):
-    """bases (and optional mate_bases) → ((taxon, t_in, t_out) int32
-    [B, P], nvalid int32 [B]) on ONE shard's table
-    (tables["fused"]/["stash"] already sliced to this shard: [NB, 4W|6W] /
-    [5, S], or tuples of n_sub such arrays — see _shard_view). Inputs are
-    int8 [B, L] code matrices, or — when packed_len=L is given —
-    uint32 [B, W16+W32] packed wire rows (encode.unpack_wire;
-    2.5x less host→device traffic). Mates are concatenated at the k-mer
-    level (SEMANTICS.md §8) BEFORE the lookup: one big gather runs
-    measurably faster than two half-size ones on v5e."""
+def _extract_probes(bases, mate_bases, cfg: ClassifyConfig,
+                    packed_len: int):
+    """[B, L] codes (or packed wire rows) → (hi, lo, valid) uint32/bool
+    [B, R] probe arrays, mates concatenated at the k-mer level
+    (SEMANTICS.md §8)."""
     from ..kernels.encode import extract_kmers_packed_jnp
     parts = [bases] if mate_bases is None else [bases, mate_bases]
     his, los, vals = [], [], []
@@ -209,23 +204,19 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
     hi = his[0] if len(parts) == 1 else jnp.concatenate(his, axis=1)
     lo = los[0] if len(parts) == 1 else jnp.concatenate(los, axis=1)
     valid = vals[0] if len(parts) == 1 else jnp.concatenate(vals, axis=1)
+    return hi, lo, valid
+
+
+def _probe_tables(tables: dict, hi, lo, valid, cfg: ClassifyConfig,
+                  shard_id=0):
+    """(hi, lo, valid) [B, R] → (taxon|hit, t_in, t_out) int32 [B, R] on
+    ONE shard's table (layout dispatch shared by every entry point)."""
     if cfg.layout in ("q8", "q12"):
-        # Quotient tables: ONE 8 B/slot (q8) or 12 B/slot (q12) row
-        # gather; the hit indicator stands in for the taxon lane (node
-        # ids recovered by score_reads_tin_jnp at the [B] level). Sharded
-        # execution needs NO owner masking here: a key is stored only in
-        # its owner shard and (bucket, rem) ↔ K is a bijection, so a
-        # query can only match in the shard that stores it — supports
-        # stay disjoint for the psum merge (shard.shard_tables_quot).
         from ..kernels.lookup import lookup_q8_jnp, lookup_q12_jnp
         lk = lookup_q8_jnp if cfg.layout == "q8" else lookup_q12_jnp
-        hits = lk(hi, lo, valid, tables["fused"], tables["stash"],
+        return lk(hi, lo, valid, tables["fused"], tables["stash"],
                   k=cfg.k, ways=cfg.ways)
-    elif cfg.n_sub > 1:
-        # Sub-table split (ClassifyConfig.n_sub): probe each fast-regime
-        # sub-table for all queries; the owner rule makes supports
-        # disjoint, so the (taxon, tin, tout) triples sum exactly —
-        # the single-chip analog of the mesh psum merge.
+    if cfg.n_sub > 1:
         total = cfg.n_shards * cfg.n_sub
         hits = None
         for t in range(cfg.n_sub):
@@ -235,10 +226,100 @@ def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
                            ways=cfg.ways)
             hits = h if hits is None else \
                 tuple(a + b for a, b in zip(hits, h))
+        return hits
+    return lookup_jnp(hi, lo, valid, tables["fused"], tables["stash"],
+                      n_shards=cfg.n_shards, shard_id=shard_id,
+                      ways=cfg.ways)
+
+
+def _probe_rows_per_read(cfg: ClassifyConfig, bases, mate_bases,
+                         packed_len: int) -> int:
+    L = packed_len if packed_len else bases.shape[1]
+    P = L - cfg.k + 1
+    NW = P // cfg.w if cfg.w > 1 else P
+    return NW * (2 if mate_bases is not None else 1)
+
+
+def classify_reads(tables: dict, bases, cfg: ClassifyConfig, tax_arrays,
+                   *, mate_bases=None, packed_len: int = 0, shard_id=0,
+                   merge_hits=None):
+    """The full read → assignment step, FUSED-CHUNKED (round 5): when the
+    flat probe count exceeds the chunk budget (kernels.lookup._Q8_CHUNK),
+    the WHOLE pipeline — extract, minimize, lookup, optional cross-shard
+    merge, score — runs per read-chunk under one lax.map, so no [B, R]
+    or [N, rows] intermediate ever materializes at batch size (the r4
+    chunked-gather insight applied to the whole program: the gather loop
+    already ran at the isolated-gather rate; this removes the extract/
+    score traffic AROUND it from the HBM budget). Bit-exact: every stage
+    is per-read, and `merge_hits` (the sharded psum) is an integer sum —
+    per-chunk merging is the same sum in chunk order.
+
+    merge_hits: optional fn applied to the hits triple BEFORE scoring
+    (the shard-axis psum in sharded execution). Padded reads (chunk
+    remainder) classify as garbage and are sliced off — per-read
+    independence makes them inert.
+    Returns dict(taxon, best, nvalid) int32 [B]."""
+    from ..kernels import score_reads_tin_jnp
+    from ..kernels.lookup import _quot_chunk
+    score = score_reads_tin_jnp if cfg.layout in ("q8", "q12") \
+        else score_reads_jnp
+
+    def whole(bb, mb):
+        hi, lo, valid = _extract_probes(bb, mb, cfg, packed_len)
+        hits = _probe_tables(tables, hi, lo, valid, cfg, shard_id)
+        if merge_hits is not None:
+            hits = merge_hits(hits)
+        nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+        return score(hits, nvalid, tax_arrays, cfg.confidence_threshold)
+
+    B = bases.shape[0]
+    R = _probe_rows_per_read(cfg, bases, mate_bases, packed_len)
+    Bc = max(_quot_chunk() // max(R, 1), 1)
+    # Deep tables (beyond the fast-row cliff) use the sorted-sliced
+    # gather, whose bucket-locality win needs the WHOLE batch's probes in
+    # one sort — read-chunking would shrink the sort to chunk scope and
+    # kill it, so the step runs unfused there (lookup chunks internally).
+    from ..kernels.lookup import _DEEP_ROWS, _deep_chunk
+    f = tables["fused"]
+    nb = (f[0].shape[-2] if isinstance(f, tuple) else f.shape[-2])
+    deep = (cfg.layout in ("q8", "q12") and nb > _DEEP_ROWS
+            and _deep_chunk(B * R, nb) is not None)
+    if deep or os.environ.get("PANGEA_FUSE_CHUNK", "1") != "1" \
+            or B <= Bc:
+        return whole(bases, mate_bases)
+    nch = -(-B // Bc)
+    pad = nch * Bc - B
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x.reshape((nch, Bc) + x.shape[1:])
+
+    if mate_bases is None:
+        out = jax.lax.map(lambda a: whole(a, None), prep(bases))
     else:
-        hits = lookup_jnp(hi, lo, valid, tables["fused"], tables["stash"],
-                          n_shards=cfg.n_shards, shard_id=shard_id,
-                          ways=cfg.ways)
+        out = jax.lax.map(lambda a: whole(*a),
+                          (prep(bases), prep(mate_bases)))
+    return jax.tree.map(
+        lambda y: y.reshape((nch * Bc,) + y.shape[2:])[:B], out)
+
+
+def hits_single_shard(tables: dict, bases: jnp.ndarray, cfg: ClassifyConfig,
+                      shard_id=0, mate_bases=None, packed_len: int = 0):
+    """bases (and optional mate_bases) → ((taxon, t_in, t_out) int32
+    [B, P], nvalid int32 [B]) on ONE shard's table
+    (tables["fused"]/["stash"] already sliced to this shard: [NB, 4W|6W] /
+    [5, S], or tuples of n_sub such arrays — see _shard_view). Inputs are
+    int8 [B, L] code matrices, or — when packed_len=L is given —
+    uint32 [B, W16+W32] packed wire rows (encode.unpack_wire;
+    2.5x less host→device traffic). Mates are concatenated at the k-mer
+    level (SEMANTICS.md §8) BEFORE the lookup: one big gather runs
+    measurably faster than two half-size ones on v5e. Quotient-table
+    sharding needs NO owner masking (see _probe_tables / the quotient
+    bijection argument in shard.shard_tables_quot)."""
+    hi, lo, valid = _extract_probes(bases, mate_bases, cfg, packed_len)
+    hits = _probe_tables(tables, hi, lo, valid, cfg, shard_id)
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     return hits, nvalid
 
@@ -254,19 +335,13 @@ def make_classify_fn(cfg: ClassifyConfig, paired: bool = False,
     in shard_map with a psum hit merge.
     """
 
-    from ..kernels import score_reads_tin_jnp
-    score = score_reads_tin_jnp if cfg.layout in ("q8", "q12") \
-        else score_reads_jnp
-
     def fn(tables, bases, mate_bases=None):
         t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
              "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
              "tax": tables["tax"]}
-        hits, nvalid = hits_single_shard(t, bases, cfg,
-                                         mate_bases=mate_bases,
-                                         packed_len=packed_len)
-        return score(hits, nvalid, tables["tax"],
-                     cfg.confidence_threshold)
+        return classify_reads(t, bases, cfg, tables["tax"],
+                              mate_bases=mate_bases,
+                              packed_len=packed_len)
 
     if paired:
         return jax.jit(fn)

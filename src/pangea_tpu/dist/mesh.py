@@ -350,23 +350,21 @@ def _local_classify(tables, bases, mate_bases, cfg: ClassifyConfig,
     psum merging the disjoint per-position hit arrays over the shard axis
     (ICI all-reduce; SEMANTICS.md §5.1, §11), then scoring. Local table
     views: fused [1, NB, 4W|6W] (tuple of such when n_sub > 1)."""
-    from ..classify.engine import _shard_view
-    from ..kernels import score_reads_tin_jnp
+    from ..classify.engine import _shard_view, classify_reads
     t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
          "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
          "tax": tables["tax"]}
     sid = jax.lax.axis_index(SHARD_AXIS)
-    hits, nvalid = hits_single_shard(t, bases, cfg, shard_id=sid,
-                                     mate_bases=mate_bases if paired
-                                     else None, packed_len=packed_len)
-    hits = jax.lax.psum(hits, SHARD_AXIS)
     # q8/q12 hits are (hit_indicator, tin, tout) — int32 with disjoint
     # per-position support across shards (a key lives only in its owner
     # shard and the quotient bijection forbids cross-shard false
-    # positives — shard.shard_tables_quot), so the psum merge is exact.
-    score = score_reads_tin_jnp if cfg.layout in ("q8", "q12") \
-        else score_reads_jnp
-    return score(hits, nvalid, tables["tax"], cfg.confidence_threshold)
+    # positives — shard.shard_tables_quot), so the psum merge is exact —
+    # and stays exact per read-chunk inside classify_reads' fused chunk
+    # loop (integer sum, per-read support).
+    return classify_reads(
+        t, bases, cfg, tables["tax"],
+        mate_bases=mate_bases if paired else None, packed_len=packed_len,
+        shard_id=sid, merge_hits=lambda h: jax.lax.psum(h, SHARD_AXIS))
 
 
 def _replicate_over_data(out):

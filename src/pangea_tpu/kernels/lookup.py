@@ -245,6 +245,112 @@ def _chunked_pk(fused, b, rem_lanes, valid, W, chunk):
     return _map_chunks(one, chunk, b, valid, *rem_lanes)
 
 
+# ------------------------------------------------- deep-table sorted gather
+# Beyond the fast-row cliff (~2^17 rows — r3 fact 1) gathers are priced
+# per random access (~8.5 ns/row in situ, r5 mb_deep). Grouping probes by
+# bucket (1-D lax.sort IS cheap on v5e: ~2 ns/row for 4 operands — r5
+# mb_deep2; the r4 "sorts are slow" finding was per-ROW batched sorts)
+# and gathering each sorted chunk from a dynamic 2^15-row table slice
+# (which gets the fast-regime treatment a full-size operand does not)
+# runs the same lookup at ~5.6 ns/row at production probe counts — 1.5x
+# (docs/artifacts/mb_deep3_r05.json). Exactness: the per-chunk bucket
+# span is data-dependent, so a guard computes every chunk's span and a
+# lax.cond falls back to the plain chunked gather (on the sorted probes —
+# order is irrelevant to it) whenever any span exceeds the slice; results
+# return to input order by a second sort on the carried index. Validity
+# folds into the remainder lanes (invalid probes get the empty-lane
+# sentinel, which can only "match" empty lanes whose payload is 0), so
+# the sorted path needs no separate valid operand and stays bit-exact.
+_DEEP_ROWS = 1 << 17
+_DEEP_SLICE = 1 << 15
+
+
+def _deep_chunk(n: int, nb: int) -> int | None:
+    """Probes per slice-chunk: expected bucket span = nb·chunk/n; target
+    ≤ SLICE/2 so the exact guard virtually never trips. None = too few
+    probes per row for sorting to pay (fall back to the plain path)."""
+    import os
+    if os.environ.get("PANGEA_DEEP_SORT", "1") != "1":
+        return None
+    c = n * (_DEEP_SLICE // 2) // max(nb, 1)
+    if c < 8192:
+        return None
+    return 1 << min(c.bit_length() - 1, 19)
+
+
+def _sorted_pk(fused, b, rem_lanes, valid, W, chunk):
+    """Deep-regime pk lookup: sort by bucket, gather per chunk from a
+    [_DEEP_SLICE, lanes] dynamic slice, un-sort. Bit-identical to
+    _chunked_pk for any input (guard + sentinel folding above)."""
+    nb = fused.shape[0]
+    lanes = fused.shape[1]
+    sl = min(_DEEP_SLICE, nb)       # production nb is always > the slice
+    n_rem = len(rem_lanes)
+    N = b.shape[0]
+    sent = jnp.uint32(0xFFFFFFFF)
+    # Fold validity: invalid probes get the empty-lane sentinel pattern
+    # (rem_hi sentinel for q12; the single rem for q8) — matches only
+    # empty lanes, whose pk lane is 0.
+    rems = list(rem_lanes)
+    if n_rem == 1:
+        rems[0] = jnp.where(valid, rems[0], sent)
+    else:
+        rems[0] = jnp.where(valid, rems[0], jnp.uint32(0))
+        rems[1] = jnp.where(valid, rems[1], sent)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    nch = -(-N // chunk)
+    pad = nch * chunk - N
+    if pad:
+        # Pad buckets with the batch max (keeps the tail chunk's span
+        # tight); pad remainders with the invalid-probe sentinel pattern.
+        bmax = jnp.max(b)
+        b = jnp.concatenate([b, jnp.broadcast_to(bmax, (pad,))])
+        padv = [sent] if n_rem == 1 else [jnp.uint32(0), sent]
+        rems = [jnp.concatenate([r, jnp.full(pad, padv[j], jnp.uint32)])
+                for j, r in enumerate(rems)]
+        idx = jnp.concatenate([idx, N + jnp.arange(pad, dtype=jnp.int32)])
+    srt = jax.lax.sort((b, *rems, idx), num_keys=1)
+    sb, srems, sidx = srt[0], srt[1:-1], srt[-1]
+    sb2 = sb.reshape(nch, chunk)
+    firsts = sb2[:, 0]
+    ok = jnp.all(sb2[:, -1] - firsts < jnp.int32(sl))
+
+    def compare(rows, rcs):
+        hitlane = rows[:, 0:W] == rcs[0][:, None]
+        for j in range(1, n_rem):
+            hitlane = hitlane & (rows[:, j * W:(j + 1) * W]
+                                 == rcs[j][:, None])
+        return jnp.sum(jnp.where(hitlane,
+                                 rows[:, n_rem * W:(n_rem + 1) * W],
+                                 jnp.uint32(0)), axis=-1)
+
+    def sliced(_):
+        def body(args):
+            first, bc = args[0], args[1]
+            start = jnp.clip(first, 0, jnp.int32(nb - sl))
+            tile = jax.lax.dynamic_slice(
+                fused, (start, jnp.int32(0)), (sl, lanes))
+            # The barrier pins the slice as a materialized (fast-regime)
+            # gather operand — unfused, XLA folds slice+gather back into
+            # the slow full-table gather.
+            tile = jax.lax.optimization_barrier(tile)
+            return compare(tile[bc - start], args[2:])
+        return jax.lax.map(
+            body, (firsts, sb2) + tuple(r.reshape(nch, chunk)
+                                        for r in srems)).reshape(-1)
+
+    def plain(_):
+        def body(args):
+            return compare(fused[args[0]], args[1:])
+        return jax.lax.map(
+            body, (sb2,) + tuple(r.reshape(nch, chunk)
+                                 for r in srems)).reshape(-1)
+
+    spk = jax.lax.cond(ok, sliced, plain, None)
+    _, pk = jax.lax.sort((sidx, spk), num_keys=1)
+    return pk[:N]
+
+
 def q8_hash_np(canon: _np.ndarray, k: int) -> _np.ndarray:
     """h = (K * A) mod 2^(2k) — the bijective quotient mix (numpy side)."""
     m = 2 * k
@@ -490,7 +596,11 @@ def lookup_q12_jnp(hi, lo, valid, fused, stash, *, k: int,
         rem_hi = jnp.zeros_like(h_lo)
 
     chunk = _quot_chunk()
-    if b.shape[0] > chunk:
+    dchunk = _deep_chunk(b.shape[0], nb) if nb > _DEEP_ROWS else None
+    if dchunk is not None and b.shape[0] > dchunk:
+        # Deep table: sorted-sliced gather (see _sorted_pk).
+        pk = _sorted_pk(fused, b, (rem_lo, rem_hi), valid, W, dchunk)
+    elif b.shape[0] > chunk:
         # Chunked gather+compare+sum (see _Q8_CHUNK) — bit-identical.
         pk = _chunked_pk(fused, b, (rem_lo, rem_hi), valid, W, chunk)
     else:
@@ -569,7 +679,12 @@ def lookup_q8_jnp(hi, lo, valid, fused, stash, *, k: int,
             .astype(jnp.int32)
 
     chunk = _quot_chunk()
-    if b.shape[0] > chunk:
+    dchunk = _deep_chunk(b.shape[0], nb) if nb > _DEEP_ROWS else None
+    if dchunk is not None and b.shape[0] > dchunk:
+        # Deep table: sorted-sliced gather (see _sorted_pk) — 1.5x the
+        # plain chunked gather beyond the fast-row cliff, bit-identical.
+        pk = _sorted_pk(fused, b, (rem,), valid, W, dchunk)
+    elif b.shape[0] > chunk:
         # Chunked gather+compare+sum (see _Q8_CHUNK) — bit-identical.
         pk = _chunked_pk(fused, b, (rem,), valid, W, chunk)
     else:
