@@ -59,6 +59,11 @@ class MeshCfg:
     n_data: int = 0    # 0 = auto from jax.device_count()
     n_shard: int = 0   # 0 = auto placement policy
     per_device_hbm_budget_gb: float = 12.0
+    # Shard-axis query routing: "broadcast" (every shard probes every
+    # query, one psum) or "alltoall" (exact-capacity owner routing —
+    # S-fold less gather work, guarded fallback on bin overflow; see
+    # dist.mesh._local_classify_routed). Env PANGEA_ROUTE overrides.
+    routing: str = "broadcast"
 
 
 @dataclass

@@ -344,8 +344,9 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None))
 
 
-def _local_classify(tables, bases, mate_bases, cfg: ClassifyConfig,
-                    paired: bool, packed_len: int):
+def _local_classify_broadcast(tables, bases, mate_bases,
+                              cfg: ClassifyConfig, paired: bool,
+                              packed_len: int):
     """Per-device classify step inside shard_map: local-shard lookup, ONE
     psum merging the disjoint per-position hit arrays over the shard axis
     (ICI all-reduce; SEMANTICS.md §5.1, §11), then scoring. Local table
@@ -365,6 +366,99 @@ def _local_classify(tables, bases, mate_bases, cfg: ClassifyConfig,
         t, bases, cfg, tables["tax"],
         mate_bases=mate_bases if paired else None, packed_len=packed_len,
         shard_id=sid, merge_hits=lambda h: jax.lax.psum(h, SHARD_AXIS))
+
+
+def _local_classify_routed(tables, bases, mate_bases, cfg: ClassifyConfig,
+                           paired: bool, packed_len: int,
+                           cap_frac: float = 1.25):
+    """EXACT-capacity all_to_all k-mer routing (VERDICT r4 #4 / DESIGN
+    fact 8): instead of every shard gathering ALL N query positions
+    against its local table (S-fold redundant aggregate gather work),
+    each query routes to its OWNER shard (top log2 S bits of mix32 — the
+    same rule the storage partition uses, index.shard.owner_of), the
+    owner probes its local table, and results route back. Per-chip
+    gather work drops S-fold; no psum is needed (each position is
+    answered exactly once, by its owner).
+
+    EXACTNESS under static shapes: the all_to_all needs a fixed
+    per-owner capacity C = ceil(N/S · cap_frac); hash-balanced owners
+    only probabilistically fit, so every (sender, owner) bin's fill is
+    counted and a lax.cond falls back to the broadcast-path psum merge
+    whenever ANY bin overflows — results are bit-identical either way
+    (tested vs broadcast and golden across mesh shapes, both branches).
+    Pad slots carry valid=False (inert through lookup by the validity
+    contract). Flag: mesh.routing = "alltoall" (default "broadcast");
+    this 1-chip sandbox cannot measure the comm-vs-work tradeoff, so the
+    switch exists for the first real multi-chip attachment."""
+    from ..classify.engine import (_extract_probes, _probe_tables,
+                                   _shard_view)
+    from ..kernels import score_reads_jnp, score_reads_tin_jnp
+    from ..kernels.lookup import hash32_jnp
+    t = {"fused": _shard_view(tables["fused"], 0, cfg.n_sub),
+         "stash": _shard_view(tables["stash"], 0, cfg.n_sub),
+         "tax": tables["tax"]}
+    S = cfg.n_shards
+    sid = jax.lax.axis_index(SHARD_AXIS)
+    hi, lo, valid = _extract_probes(bases, mate_bases, cfg, packed_len)
+    shape = hi.shape
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    hi, lo, valid = hi.reshape(-1), lo.reshape(-1), valid.reshape(-1)
+    N = hi.shape[0]
+    C = -(-N // S)
+    C = int(C * cap_frac + 0.5)
+    log2S = S.bit_length() - 1
+    owner = (hash32_jnp(hi, lo) >> jnp.uint32(32 - log2S)).astype(jnp.int32)
+    # Invalid positions route to shard 0 as padding (valid False).
+    owner = jnp.where(valid, owner, 0)
+    # Slot assignment: rank within owner via owner-major stable sort of
+    # (owner, position) — 1-D sorts are cheap on TPU (DESIGN r5 fact 1);
+    # rank = position-in-sorted-run, computed by comparing to run starts.
+    idx = jnp.arange(N, dtype=jnp.int32)
+    so, sidx = jax.lax.sort((owner, idx), num_keys=1)
+    # First index of each owner's run: searchsorted on the sorted owners.
+    run_start = jnp.searchsorted(so, jnp.arange(S, dtype=jnp.int32),
+                                 side="left").astype(jnp.int32)
+    rank_sorted = idx - run_start[so]
+    overflow = jnp.any(rank_sorted >= jnp.int32(C))
+    # Scatter each (sorted) query into its [S, C] slot grid.
+    pos = so * jnp.int32(C) + jnp.minimum(rank_sorted, jnp.int32(C - 1))
+    dump = jnp.zeros(S * C, jnp.uint32)
+    hi_g = dump.at[pos].set(hi[sidx]).reshape(S, C)
+    lo_g = dump.at[pos].set(lo[sidx]).reshape(S, C)
+    va_g = jnp.zeros(S * C, jnp.bool_).at[pos].set(valid[sidx]) \
+        .reshape(S, C)
+    ix_g = jnp.full(S * C, -1, jnp.int32).at[pos].set(sidx).reshape(S, C)
+
+    score = score_reads_tin_jnp if cfg.layout in ("q8", "q12") \
+        else score_reads_jnp
+
+    def routed(_):
+        rhi = jax.lax.all_to_all(hi_g, SHARD_AXIS, 0, 0, tiled=True)
+        rlo = jax.lax.all_to_all(lo_g, SHARD_AXIS, 0, 0, tiled=True)
+        rva = jax.lax.all_to_all(va_g, SHARD_AXIS, 0, 0, tiled=True)
+        # Owner-side probe: every received query is owned here, so the
+        # std owner mask is a tautology (shard_id=sid) and quotient
+        # layouts need none (bijection argument in shard_tables_quot).
+        h = _probe_tables(t, rhi.reshape(-1), rlo.reshape(-1),
+                          rva.reshape(-1), cfg, shard_id=sid)
+        back = tuple(
+            jax.lax.all_to_all(x.reshape(S, C), SHARD_AXIS, 0, 0,
+                               tiled=True).reshape(-1) for x in h)
+        # Un-route: slot (s, c) answered the query at original flat
+        # position ix_g[s, c]; dump slots (-1) are dropped via a guarded
+        # scatter into an N+1 buffer.
+        ix = ix_g.reshape(-1)
+        tgt = jnp.where(ix >= 0, ix, jnp.int32(N))
+        return tuple(jnp.zeros(N + 1, x.dtype).at[tgt].set(x)[:N]
+                     .reshape(shape) for x in back)
+
+    def broadcast(_):
+        h = _probe_tables(t, hi, lo, valid, cfg, shard_id=sid)
+        h = jax.lax.psum(h, SHARD_AXIS)
+        return tuple(x.reshape(shape) for x in h)
+
+    hits = jax.lax.cond(overflow, broadcast, routed, None)
+    return score(hits, nvalid, tables["tax"], cfg.confidence_threshold)
 
 
 def _replicate_over_data(out):
@@ -407,7 +501,8 @@ def make_multik_sharded_classify_fn(cfgs, mesh: Mesh, paired: bool = False,
     cfgs = tuple(cfgs)
 
     def local_step(tables_tuple, bases, mate_bases):
-        outs = [_local_classify(t, bases, mate_bases, c, paired, packed_len)
+        outs = [_local_classify_broadcast(t, bases, mate_bases, c,
+                                          paired, packed_len)
                 for t, c in zip(tables_tuple, cfgs)]
         res = outs[0]
         for o in outs[1:]:
@@ -434,7 +529,8 @@ def make_multik_sharded_classify_fn(cfgs, mesh: Mesh, paired: bool = False,
 
 def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
                              paired: bool = False, packed_len: int = 0,
-                             replicate_out: bool = False):
+                             replicate_out: bool = False,
+                             routing: str = "broadcast"):
     """The distributed classify step: shard_map over (data, shard) with one
     psum merging the disjoint per-position hit arrays (SEMANTICS.md §5.1,
     §11) before scoring. Returns fn(tables, bases[, mate_bases]) -> dict of
@@ -446,10 +542,16 @@ def make_sharded_classify_fn(cfg: ClassifyConfig, mesh: Mesh,
     fully-replicated arrays can be fetched by every host (the [B] int32
     triples are tiny, so the gather is noise next to the lookup)."""
     from jax import shard_map
+    import os
+    routing = os.environ.get("PANGEA_ROUTE", routing)
+    if routing not in ("broadcast", "alltoall"):
+        raise ValueError(f"unknown routing {routing!r}")
+    local = (_local_classify_routed
+             if routing == "alltoall" and cfg.n_shards > 1
+             else _local_classify_broadcast)
 
     def local_step(tables, bases, mate_bases):
-        out = _local_classify(tables, bases, mate_bases, cfg, paired,
-                              packed_len)
+        out = local(tables, bases, mate_bases, cfg, paired, packed_len)
         if replicate_out:
             out = _replicate_over_data(out)
         return out

@@ -752,7 +752,8 @@ def run_classify(cfg: RunConfig, progress=True) -> dict:
     else:
         fn0 = make_sharded_classify_fn(dis[0].cfg, mesh, paired=paired,
                                        packed_len=L if use_fast else 0,
-                                       replicate_out=nproc > 1)
+                                       replicate_out=nproc > 1,
+                                       routing=cfg.mesh.routing)
         di0 = dis[0]
 
         def launch_step(dev_b, dev_m=None):
