@@ -275,6 +275,13 @@ def _deep_chunk(n: int, nb: int) -> int | None:
     c = n * (_DEEP_SLICE // 2) // max(nb, 1)
     if c < 8192:
         return None
+    if nb > (1 << 22) and c < 16384:
+        # Very large tables with few probes per row: the per-chunk tile
+        # copies (~ slice_bytes/chunk per probe) outweigh the fast-gather
+        # win — measured LOSS at nb=2^24, N=8.4M (9.1 vs 8.5 ns/row,
+        # mb_deep4_r05.json) vs a WIN at nb=2^20 with the same
+        # probes-per-row ratio; nb=2^22 still wins (6.7 vs 8.5).
+        return None
     return 1 << min(c.bit_length() - 1, 19)
 
 
