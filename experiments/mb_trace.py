@@ -24,7 +24,7 @@ from pangea_tpu.index import build_index
 from pangea_tpu.utils.timing import fetch_sync
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "docs", "artifacts",
-                   "trace_r04")
+                   "trace_r05")
 
 
 def main():
