@@ -18,8 +18,9 @@ import numpy as np
 
 from pangea_tpu.utils.timing import marginal_time
 
+import os as _os
 LANES = 128
-N = 8388608
+N = int(_os.environ.get('DN', 8388608))
 out = {}
 
 

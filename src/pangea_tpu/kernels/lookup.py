@@ -273,14 +273,14 @@ def _deep_chunk(n: int, nb: int) -> int | None:
     if os.environ.get("PANGEA_DEEP_SORT", "1") != "1":
         return None
     c = n * (_DEEP_SLICE // 2) // max(nb, 1)
-    if c < 8192:
-        return None
-    if nb > (1 << 22) and c < 16384:
-        # Very large tables with few probes per row: the per-chunk tile
-        # copies (~ slice_bytes/chunk per probe) outweigh the fast-gather
-        # win — measured LOSS at nb=2^24, N=8.4M (9.1 vs 8.5 ns/row,
-        # mb_deep4_r05.json) vs a WIN at nb=2^20 with the same
-        # probes-per-row ratio; nb=2^22 still wins (6.7 vs 8.5).
+    if c < 8192 or nb > (1 << 22):
+        # nb cap measured, not derived (mb_deep4_r05.json): the sorted
+        # path wins at nb=2^20 (5.6 vs 8.5 ns/row) and 2^22 (6.7 vs
+        # 8.5) but is a wash-to-loss at 2^24 across probe counts 8.4M,
+        # 16.8M and 33.5M (8.7-9.1 vs 8.6) — the per-chunk tile copies
+        # total ~2x table bytes regardless of N, and slices of an
+        # 8.6 GB operand no longer gather at the fast rate. Tables that
+        # big want the shard axis anyway (HBM pressure).
         return None
     return 1 << min(c.bit_length() - 1, 19)
 

@@ -57,6 +57,7 @@ def test_deep_chunk_policy():
     assert LK._deep_chunk(8388608, 1 << 20) == 131072
     assert LK._deep_chunk(32768, 1 << 20) is None      # too few probes
     assert LK._deep_chunk(1 << 24, 1 << 18) == (1 << 19)  # capped
-    # Very large tables need >= 1 probe/row (mb_deep4: nb=2^24 loss)
+    # nb cap: no win measured beyond 2^22 (mb_deep4, three N values)
     assert LK._deep_chunk(8388608, 1 << 24) is None
-    assert LK._deep_chunk(1 << 25, 1 << 24) == 32768
+    assert LK._deep_chunk(1 << 25, 1 << 24) is None
+    assert LK._deep_chunk(8388608, 1 << 22) == 32768
