@@ -282,8 +282,9 @@ def classify_reads(tables: dict, bases, cfg: ClassifyConfig, tax_arrays,
     from ..kernels.lookup import _DEEP_ROWS, _deep_chunk
     f = tables["fused"]
     nb = (f[0].shape[-2] if isinstance(f, tuple) else f.shape[-2])
-    deep = (cfg.layout in ("q8", "q12") and nb > _DEEP_ROWS
-            and _deep_chunk(B * R, nb) is not None)
+    lanes = (f[0].shape[-1] if isinstance(f, tuple) else f.shape[-1])
+    deep = (cfg.n_sub == 1 and nb > _DEEP_ROWS
+            and _deep_chunk(B * R, nb, lanes * 4) is not None)
     if deep or os.environ.get("PANGEA_FUSE_CHUNK", "1") != "1" \
             or B <= Bc:
         return whole(bases, mate_bases)

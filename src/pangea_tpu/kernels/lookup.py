@@ -147,7 +147,14 @@ def lookup_jnp(hi, lo, valid, fused, stash, *, n_shards: int = 1,
         return taxon, t_in, t_out
 
     chunk = _quot_chunk()
-    if b.shape[0] > chunk:
+    dchunk = _deep_chunk(b.shape[0], nb, fused.shape[1] * 4,
+                         min_chunk=32768) if nb > _DEEP_ROWS else None
+    if dchunk is not None and b.shape[0] > dchunk:
+        # Deep table: sorted-sliced gather (see _sorted_std) — the
+        # big-taxonomy (wide-row) RefSeq case q8/q12 cannot serve.
+        taxon, t_in, t_out = _sorted_std(fused, b, hi, lo, mine, W,
+                                         packed, dchunk)
+    elif b.shape[0] > chunk:
         # Chunked gather (see _Q8_CHUNK): bounds the materialized
         # [N, 4W|6W] rows intermediate — same r4 xprof finding as q8.
         taxon, t_in, t_out = _map_chunks(_std_lanes, chunk, b, hi, lo,
@@ -265,71 +272,58 @@ _DEEP_ROWS = 1 << 17
 _DEEP_SLICE = 1 << 15
 
 
-def _deep_chunk(n: int, nb: int) -> int | None:
+def _deep_chunk(n: int, nb: int, row_bytes: int = 512,
+                min_chunk: int = 8192) -> int | None:
     """Probes per slice-chunk: expected bucket span = nb·chunk/n; target
     ≤ SLICE/2 so the exact guard virtually never trips. None = too few
-    probes per row for sorting to pay (fall back to the plain path)."""
+    probes per row for sorting to pay (fall back to the plain path).
+    min_chunk: the std layout passes 32768 — its sorts carry 2 probe
+    operands in and 3 outputs back (vs q8's 1+1), so it needs twice the
+    probes-per-row before sorting pays (the 28M-shard std arm measured a
+    LOSS at c=8448: 68.9 ms sorted vs ~52-66 plain)."""
     import os
     if os.environ.get("PANGEA_DEEP_SORT", "1") != "1":
         return None
     c = n * (_DEEP_SLICE // 2) // max(nb, 1)
-    if c < 8192 or nb > (1 << 22):
-        # nb cap measured, not derived (mb_deep4_r05.json): the sorted
-        # path wins at nb=2^20 (5.6 vs 8.5 ns/row) and 2^22 (6.7 vs
-        # 8.5) but is a wash-to-loss at 2^24 across probe counts 8.4M,
-        # 16.8M and 33.5M (8.7-9.1 vs 8.6) — the per-chunk tile copies
-        # total ~2x table bytes regardless of N, and slices of an
-        # 8.6 GB operand no longer gather at the fast rate. Tables that
+    if c < min_chunk or nb * row_bytes > (1 << 31):
+        # Table-size cap measured, not derived (mb_deep4_r05.json): the
+        # sorted path wins up to 2^22 x 512 B rows = 2 GB (6.7 vs 8.5
+        # ns/row) but is a wash-to-loss on an 8.6 GB table across probe
+        # counts 8.4M/16.8M/33.5M (8.7-9.1 vs 8.6) — the per-chunk tile
+        # copies total ~2x table bytes regardless of N, and slices of a
+        # GB-scale operand stop gathering at the fast rate. Tables that
         # big want the shard axis anyway (HBM pressure).
         return None
     return 1 << min(c.bit_length() - 1, 19)
 
 
-def _sorted_pk(fused, b, rem_lanes, valid, W, chunk):
-    """Deep-regime pk lookup: sort by bucket, gather per chunk from a
-    [_DEEP_SLICE, lanes] dynamic slice, un-sort. Bit-identical to
-    _chunked_pk for any input (guard + sentinel folding above)."""
-    nb = fused.shape[0]
-    lanes = fused.shape[1]
+def _sorted_apply(fused, b, probes, lanes_fn, chunk):
+    """Shared deep-regime skeleton: sort (bucket, *probes, idx), run
+    lanes_fn(rows, probe_chunks) -> tuple of [chunk] outputs per sliced
+    chunk (or against the plain full-table gather under the span-guard
+    fallback), and un-sort every output by a second sort on the carried
+    index. Pad entries carry the batch-max bucket (tight tail span) and
+    zero probes — pad OUTPUTS are sliced off after the restore, so their
+    content is inert by construction."""
+    nb, lanes = fused.shape
     sl = min(_DEEP_SLICE, nb)       # production nb is always > the slice
-    n_rem = len(rem_lanes)
     N = b.shape[0]
-    sent = jnp.uint32(0xFFFFFFFF)
-    # Fold validity: invalid probes get the empty-lane sentinel pattern
-    # (rem_hi sentinel for q12; the single rem for q8) — matches only
-    # empty lanes, whose pk lane is 0.
-    rems = list(rem_lanes)
-    if n_rem == 1:
-        rems[0] = jnp.where(valid, rems[0], sent)
-    else:
-        rems[0] = jnp.where(valid, rems[0], jnp.uint32(0))
-        rems[1] = jnp.where(valid, rems[1], sent)
     idx = jnp.arange(N, dtype=jnp.int32)
     nch = -(-N // chunk)
     pad = nch * chunk - N
+    probes = list(probes)
     if pad:
-        # Pad buckets with the batch max (keeps the tail chunk's span
-        # tight); pad remainders with the invalid-probe sentinel pattern.
         bmax = jnp.max(b)
         b = jnp.concatenate([b, jnp.broadcast_to(bmax, (pad,))])
-        padv = [sent] if n_rem == 1 else [jnp.uint32(0), sent]
-        rems = [jnp.concatenate([r, jnp.full(pad, padv[j], jnp.uint32)])
-                for j, r in enumerate(rems)]
+        probes = [jnp.concatenate([r, jnp.zeros(pad, r.dtype)])
+                  for r in probes]
         idx = jnp.concatenate([idx, N + jnp.arange(pad, dtype=jnp.int32)])
-    srt = jax.lax.sort((b, *rems, idx), num_keys=1)
-    sb, srems, sidx = srt[0], srt[1:-1], srt[-1]
+    srt = jax.lax.sort((b, *probes, idx), num_keys=1)
+    sb, sprobes, sidx = srt[0], srt[1:-1], srt[-1]
     sb2 = sb.reshape(nch, chunk)
     firsts = sb2[:, 0]
     ok = jnp.all(sb2[:, -1] - firsts < jnp.int32(sl))
-
-    def compare(rows, rcs):
-        hitlane = rows[:, 0:W] == rcs[0][:, None]
-        for j in range(1, n_rem):
-            hitlane = hitlane & (rows[:, j * W:(j + 1) * W]
-                                 == rcs[j][:, None])
-        return jnp.sum(jnp.where(hitlane,
-                                 rows[:, n_rem * W:(n_rem + 1) * W],
-                                 jnp.uint32(0)), axis=-1)
+    pchunks = tuple(r.reshape(nch, chunk) for r in sprobes)
 
     def sliced(_):
         def body(args):
@@ -341,21 +335,86 @@ def _sorted_pk(fused, b, rem_lanes, valid, W, chunk):
             # gather operand — unfused, XLA folds slice+gather back into
             # the slow full-table gather.
             tile = jax.lax.optimization_barrier(tile)
-            return compare(tile[bc - start], args[2:])
-        return jax.lax.map(
-            body, (firsts, sb2) + tuple(r.reshape(nch, chunk)
-                                        for r in srems)).reshape(-1)
+            return lanes_fn(tile[bc - start], args[2:])
+        return jax.lax.map(body, (firsts, sb2) + pchunks)
 
     def plain(_):
         def body(args):
-            return compare(fused[args[0]], args[1:])
-        return jax.lax.map(
-            body, (sb2,) + tuple(r.reshape(nch, chunk)
-                                 for r in srems)).reshape(-1)
+            return lanes_fn(fused[args[0]], args[1:])
+        return jax.lax.map(body, (sb2,) + pchunks)
 
-    spk = jax.lax.cond(ok, sliced, plain, None)
-    _, pk = jax.lax.sort((sidx, spk), num_keys=1)
-    return pk[:N]
+    outs = jax.lax.cond(ok, sliced, plain, None)
+    if not isinstance(outs, tuple):
+        outs = (outs,)
+    rst = jax.lax.sort((sidx,) + tuple(o.reshape(-1) for o in outs),
+                       num_keys=1)
+    return tuple(o[:N] for o in rst[1:])
+
+
+def _sorted_pk(fused, b, rem_lanes, valid, W, chunk):
+    """Deep-regime quotient (q8/q12) pk lookup via _sorted_apply.
+    Bit-identical to _chunked_pk for any input: validity folds into the
+    remainder lanes (invalid probes get the empty-lane sentinel pattern —
+    rem_hi sentinel for q12, the single rem for q8 — which can only
+    "match" empty lanes, whose pk lane is 0 by construction)."""
+    n_rem = len(rem_lanes)
+    sent = jnp.uint32(0xFFFFFFFF)
+    rems = list(rem_lanes)
+    if n_rem == 1:
+        rems[0] = jnp.where(valid, rems[0], sent)
+    else:
+        rems[0] = jnp.where(valid, rems[0], jnp.uint32(0))
+        rems[1] = jnp.where(valid, rems[1], sent)
+
+    def lanes_fn(rows, rcs):
+        hitlane = rows[:, 0:W] == rcs[0][:, None]
+        for j in range(1, n_rem):
+            hitlane = hitlane & (rows[:, j * W:(j + 1) * W]
+                                 == rcs[j][:, None])
+        return jnp.sum(jnp.where(hitlane,
+                                 rows[:, n_rem * W:(n_rem + 1) * W],
+                                 jnp.uint32(0)), axis=-1)
+
+    (pk,) = _sorted_apply(fused, b, rems, lanes_fn, chunk)
+    return pk
+
+
+# Matches NOTHING: real canonical key_hi fits 2k-32 ≤ 30 bits and the
+# empty-lane sentinel is 0xFFFFFFFF, whose payload lanes are NOT zero in
+# the std layout (val 0 → tin[0] = tout[0] = −1 Euler stamps), so std
+# invalid probes must match neither real nor empty lanes.
+_NEVER_HI = _np.uint32(0xFFFFFFFE)
+
+
+def _sorted_std(fused, b, hi, lo, mine, W, packed, chunk):
+    """Deep-regime std-layout lookup via _sorted_apply: same
+    (taxon, t_in, t_out) contract as _std_lanes inside lookup_jnp —
+    zeros at invalid/unowned positions (the _NEVER_HI folding)."""
+    hi_e = jnp.where(mine, hi, jnp.uint32(_NEVER_HI))
+    lo_e = jnp.where(mine, lo, jnp.uint32(0))
+
+    def lanes_fn(rows, ps):
+        hic, loc = ps
+        khi = rows[:, 0:W]
+        klo = rows[:, W:2 * W]
+        val = jax.lax.bitcast_convert_type(rows[:, 2 * W:3 * W],
+                                           jnp.int32)
+        hitlane = (khi == hic[:, None]) & (klo == loc[:, None])
+        taxon = jnp.sum(jnp.where(hitlane, val, 0), axis=-1)
+        if packed:
+            pk = jnp.sum(jnp.where(hitlane, rows[:, 3 * W:4 * W],
+                                   jnp.uint32(0)), axis=-1)
+            t_in = (pk >> jnp.uint32(16)).astype(jnp.int32)
+            t_out = (pk & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        else:
+            p2 = jax.lax.bitcast_convert_type(rows[:, 3 * W:5 * W],
+                                              jnp.int32)
+            t_in = jnp.sum(jnp.where(hitlane, p2[:, 0:W], 0), axis=-1)
+            t_out = jnp.sum(jnp.where(hitlane, p2[:, W:2 * W], 0),
+                            axis=-1)
+        return taxon, t_in, t_out
+
+    return _sorted_apply(fused, b, (hi_e, lo_e), lanes_fn, chunk)
 
 
 def q8_hash_np(canon: _np.ndarray, k: int) -> _np.ndarray:
@@ -603,7 +662,8 @@ def lookup_q12_jnp(hi, lo, valid, fused, stash, *, k: int,
         rem_hi = jnp.zeros_like(h_lo)
 
     chunk = _quot_chunk()
-    dchunk = _deep_chunk(b.shape[0], nb) if nb > _DEEP_ROWS else None
+    dchunk = _deep_chunk(b.shape[0], nb, fused.shape[1] * 4) \
+        if nb > _DEEP_ROWS else None
     if dchunk is not None and b.shape[0] > dchunk:
         # Deep table: sorted-sliced gather (see _sorted_pk).
         pk = _sorted_pk(fused, b, (rem_lo, rem_hi), valid, W, dchunk)
@@ -686,7 +746,8 @@ def lookup_q8_jnp(hi, lo, valid, fused, stash, *, k: int,
             .astype(jnp.int32)
 
     chunk = _quot_chunk()
-    dchunk = _deep_chunk(b.shape[0], nb) if nb > _DEEP_ROWS else None
+    dchunk = _deep_chunk(b.shape[0], nb, fused.shape[1] * 4) \
+        if nb > _DEEP_ROWS else None
     if dchunk is not None and b.shape[0] > dchunk:
         # Deep table: sorted-sliced gather (see _sorted_pk) — 1.5x the
         # plain chunked gather beyond the fast-row cliff, bit-identical.

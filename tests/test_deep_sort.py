@@ -27,7 +27,8 @@ def _run(idx, rs, layout, deep_on, monkeypatch, slice_rows):
     monkeypatch.setattr(LK, "_DEEP_SLICE", slice_rows)
     monkeypatch.setattr(
         LK, "_deep_chunk",
-        lambda n, nb: 2048 if deep_on and n > 2048 else None)
+        lambda n, nb, rb=512, min_chunk=8192:
+        2048 if deep_on and n > 2048 else None)
     di = DeviceIndex.from_index(idx, confidence_threshold=0.05,
                                 layout=layout)
     fn = make_classify_fn(di.cfg)
@@ -35,7 +36,7 @@ def _run(idx, rs, layout, deep_on, monkeypatch, slice_rows):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
-@pytest.mark.parametrize("layout", ["q8", "q12"])
+@pytest.mark.parametrize("layout", ["q8", "q12", "std"])
 @pytest.mark.parametrize("slice_rows", [1 << 14, 1 << 6])
 def test_deep_sorted_bit_exact(world, layout, slice_rows, monkeypatch):
     """slice_rows = 2^14 ≥ nb: every span fits → the SLICED branch runs;
@@ -57,7 +58,11 @@ def test_deep_chunk_policy():
     assert LK._deep_chunk(8388608, 1 << 20) == 131072
     assert LK._deep_chunk(32768, 1 << 20) is None      # too few probes
     assert LK._deep_chunk(1 << 24, 1 << 18) == (1 << 19)  # capped
-    # nb cap: no win measured beyond 2^22 (mb_deep4, three N values)
-    assert LK._deep_chunk(8388608, 1 << 24) is None
-    assert LK._deep_chunk(1 << 25, 1 << 24) is None
-    assert LK._deep_chunk(8388608, 1 << 22) == 32768
+    # table-bytes cap: no win measured beyond ~2 GB (mb_deep4)
+    assert LK._deep_chunk(8388608, 1 << 24, 512) is None
+    assert LK._deep_chunk(1 << 25, 1 << 24, 512) is None
+    assert LK._deep_chunk(8388608, 1 << 22, 512) == 32768
+    # std 256 B rows: same byte budget admits 2^23 rows, but std's
+    # heavier sorts demand min_chunk=32768 (28M-shard std arm loss)
+    assert LK._deep_chunk(1 << 24, 1 << 23, 256, min_chunk=32768) == 32768
+    assert LK._deep_chunk(1 << 23, 1 << 23, 256, min_chunk=32768) is None
