@@ -286,7 +286,12 @@ def run_bench(config_path=None, overrides=(), n_reads=100_000,
         "PANGEA_BENCH_VARIANTS", "4")), 1)]
     step = compile_sec = out = overhead = None
     chunk_used = variants[0]
+    t_lot = time.time()
+    lot_budget = float(os.environ.get("PANGEA_BENCH_HEADLINE_BUDGET",
+                                      "300"))
     for ch in variants:
+        if step is not None and time.time() - t_lot > lot_budget:
+            break                      # enough tickets for this budget
         os.environ["PANGEA_Q8_CHUNK"] = str(ch)
         fn = make_classify_fn(di.cfg, paired=True)
         s, c, o, ov = _measure(fn, di.tables, d1, d2, rounds=rounds)
